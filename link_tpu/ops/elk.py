@@ -1,0 +1,104 @@
+"""ELK pre-aggregation ops: voxel <-> aux-block transforms + upsampling.
+
+TPU-native equivalents of segmentation/core/models/utils.py:
+  * voxel_to_aux   (utils.py:44-58)  — coarsen coords by s, unique,
+    mean-pool voxel feats into aux blocks;
+  * aux_to_voxel   (utils.py:61-84)  — sum each aux cell's r^3 neighborhood
+    (count-weighted), renormalize by total count, broadcast back to voxels;
+  * upsample_voxel (utils.py:327-340) — broadcast coarse-level feats to the
+    fine level via an exact ancestor join.
+
+Hash build/query chains become sorted-key joins; spcount/spvoxelize become
+segment sums; the r^3 gather is a static (K, M) gather-sum.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..sparse import coords as coordlib
+from ..sparse import ops as spops
+from ..sparse.tensor import SparseTensor
+
+
+def voxel_to_aux(x: SparseTensor, s: int, aux_capacity: int):
+    """Pool voxels into s^3 aux blocks.
+
+    Returns (aux, idx_query, counts):
+      aux:       SparseTensor of aux cells; coords are *divided* coords
+                 (floor(voxel_coord / s), batch), like the reference which
+                 keys aux cells by x_C = C[:, :3] // s (utils.py:45).
+      idx_query: (N,) voxel -> aux slot (-1 for padding rows)
+      counts:    (M_aux,) voxels per aux cell
+    """
+    div = jnp.concatenate(
+        [jnp.where(x.coords[:, :1] <= coordlib.INVALID_COORD,
+                   x.coords[:, :3],
+                   x.coords[:, :3] // jnp.int32(s)),
+         x.coords[:, 3:]], axis=1)
+    aux_coords, idx_query, aux_nnz = coordlib.unique_coords(div, aux_capacity)
+    counts = spops.spcount(idx_query, aux_capacity)
+    aux_feats = spops.spvoxelize(x.feats, idx_query, counts)
+    aux = SparseTensor(feats=aux_feats, coords=aux_coords, nnz=aux_nnz,
+                       stride=(s, s, s), cmaps=x.cmaps, kmaps=x.kmaps)
+    return aux, idx_query, counts
+
+
+def aux_to_voxel(aux: SparseTensor, x: SparseTensor, idx_query: jnp.ndarray,
+                 counts: jnp.ndarray, r: int = 2) -> SparseTensor:
+    """Sum features over the r^3 window of aux blocks around each aux cell,
+    renormalize by the total voxel count in the window, and broadcast back
+    to the voxels of `x` (utils.py:61-84).
+
+    The reference implements the window sum as spdevoxelize over feats
+    pre-multiplied by counts with an appended all-ones "count channel"
+    (utils.py:75-80); we keep that exact formulation so numerics match.
+    """
+    offsets = coordlib.kernel_offsets_np((r, r, r), stride=1, dilation=1)
+    table = coordlib.build_table(aux.coords)
+    qxyz = aux.coords[None, :, :3] + jnp.asarray(offsets, jnp.int32)[:, None, :]
+    qb = jnp.broadcast_to(aux.coords[None, :, 3:],
+                          (offsets.shape[0],) + aux.coords[:, 3:].shape)
+    nb_idx = table.query(jnp.concatenate([qxyz, qb], axis=-1))  # (r^3, M_aux)
+    nb_idx = nb_idx.T                                           # (M_aux, r^3)
+
+    f = jnp.concatenate(
+        [aux.feats, jnp.ones((aux.feats.shape[0], 1), aux.feats.dtype)], axis=1)
+    f = f * counts.astype(aux.feats.dtype)[:, None]
+    weights = jnp.ones(nb_idx.shape, aux.feats.dtype)
+    window = spops.spdevoxelize(f, nb_idx, weights)             # (M_aux, C+1)
+    denom = window[:, -1:]
+    new_feat = window[:, :-1] / jnp.where(denom == 0, 1, denom)
+
+    # Broadcast aux features back to voxels (utils.py:82: F = new_feat[idx]).
+    m_aux = new_feat.shape[0]
+    safe = jnp.where(idx_query >= 0, idx_query, m_aux)
+    new_feat_ext = jnp.concatenate(
+        [new_feat, jnp.zeros((1, new_feat.shape[1]), new_feat.dtype)], axis=0)
+    return x.replace(feats=new_feat_ext[safe])
+
+
+def upsample_voxel(x: SparseTensor, ref_x: SparseTensor) -> SparseTensor:
+    """Nearest-ancestor broadcast of coarse feats onto fine coords
+    (utils.py:327-340): both coord sets divided by the coarse stride, exact
+    join, gather."""
+    s = x.stride[0]
+
+    def _div(c):
+        return jnp.concatenate(
+            [jnp.where(c[:, :1] <= coordlib.INVALID_COORD, c[:, :3],
+                       c[:, :3] // jnp.int32(s)),
+             c[:, 3:]], axis=1)
+
+    table = coordlib.build_table(_div(x.coords))
+    idx = table.query(_div(ref_x.coords))                       # (N_fine,)
+    n = x.feats.shape[0]
+    safe = jnp.where(idx >= 0, idx, n)
+    feats_ext = jnp.concatenate(
+        [x.feats, jnp.zeros((1, x.feats.shape[1]), x.feats.dtype)], axis=0)
+    return SparseTensor(feats=feats_ext[safe], coords=ref_x.coords,
+                        nnz=ref_x.nnz, stride=ref_x.stride,
+                        cmaps=ref_x.cmaps, kmaps=ref_x.kmaps)

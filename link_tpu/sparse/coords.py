@@ -1,0 +1,214 @@
+"""Coordinate keys, sorting, dedup and joins for sparse voxel tensors.
+
+TPU-native replacement for the reference's FNV-1a hashing + GPU cuckoo hash
+table (reference: segmentation/torchsparse-u/torchsparse/backend/hash/
+hash_cuda.cu:11-55, backend/hashmap/hashmap_cuda.cu). Instead of 64-bit
+hashes resolved through a probabilistic hash table, we linearize integer
+voxel coordinates into an exact *pair* of int32 keys (JAX default int width
+is 32 bits; a pair gives us 60 usable bits) and use
+
+  * multi-key `lax.sort` for deduplication (`torch.unique(dim=0)`), and
+  * vectorized binary search (lower bound) for joins (`sphashquery`).
+
+Both are deterministic and collision-free, unlike the reference hash path.
+
+Coordinate layout convention matches torchsparse: `coords[:, :4] = (x, y, z,
+batch)`, int32. Padding rows use `INVALID_COORD` which packs to a key pair
+that sorts after every real key and never joins.
+
+Bit budget (static): x, y in [-OFFSET, 2^14 - OFFSET), z in [-OFFSET_Z,
+2^12 - OFFSET_Z), batch in [0, 2^17). This covers SemanticKITTI at 0.05 m
+(spans ~3300) and nuScenes detection grids (1440 x 1440 x 40) with margin
+for kernel-offset probes that step outside the populated range.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Int3 = Tuple[int, int, int]
+
+X_BITS = 14
+Y_BITS = 14
+Z_BITS = 12
+OFFSET_XY = 512  # shift applied so slightly-negative probes stay packable
+OFFSET_Z = 512
+SPAN_X = 1 << X_BITS
+SPAN_Y = 1 << Y_BITS
+SPAN_Z = 1 << Z_BITS
+
+INT32_MAX = np.int32(2**31 - 1)
+# Sentinel coordinate value marking padding rows (never packs to a valid key).
+INVALID_COORD = np.int32(-(2**20))
+
+
+def make_ntuple(x: Union[int, Sequence[int]], ndim: int = 3) -> Tuple[int, ...]:
+    if isinstance(x, (list, tuple, np.ndarray)):
+        assert len(x) == ndim
+        return tuple(int(v) for v in x)
+    return (int(x),) * ndim
+
+
+def pack_coords(coords: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pack (N, 4) int32 (x, y, z, b) coords into an order-preserving int32
+    key pair (hi, lo). Out-of-range / sentinel coords map to (INT32_MAX,
+    INT32_MAX), which sorts last and never equals a valid key.
+
+    Sort order of (hi, lo) is lexicographic (b, z, y, x).
+    """
+    x = coords[:, 0] + OFFSET_XY
+    y = coords[:, 1] + OFFSET_XY
+    z = coords[:, 2] + OFFSET_Z
+    b = coords[:, 3]
+    valid = (
+        (x >= 0) & (x < SPAN_X)
+        & (y >= 0) & (y < SPAN_Y)
+        & (z >= 0) & (z < SPAN_Z)
+        & (b >= 0)
+    )
+    hi = (b << Z_BITS) | (z & (SPAN_Z - 1))
+    lo = (y << X_BITS) | (x & (SPAN_X - 1))
+    hi = jnp.where(valid, hi, INT32_MAX)
+    lo = jnp.where(valid, lo, INT32_MAX)
+    return hi.astype(jnp.int32), lo.astype(jnp.int32)
+
+
+def key_is_valid(hi: jnp.ndarray) -> jnp.ndarray:
+    return hi != INT32_MAX
+
+
+def sort_by_key(hi, lo, *payloads):
+    """Stable lexicographic sort by (hi, lo); payloads carried along."""
+    out = jax.lax.sort((hi, lo) + tuple(payloads), num_keys=2, is_stable=True)
+    return out
+
+
+def lower_bound(table_hi: jnp.ndarray, table_lo: jnp.ndarray,
+                q_hi: jnp.ndarray, q_lo: jnp.ndarray) -> jnp.ndarray:
+    """Vectorized lower-bound binary search over a (hi, lo)-sorted table.
+
+    Returns for every query the first table position whose key is >= the
+    query key. Table must be sorted (padding keys INT32_MAX at the end are
+    fine). Works for arbitrary query shapes.
+    """
+    n = table_hi.shape[0]
+    steps = max(1, int(np.ceil(np.log2(n + 1))))
+    lo_idx = jnp.zeros(q_hi.shape, dtype=jnp.int32)
+    hi_idx = jnp.full(q_hi.shape, n, dtype=jnp.int32)
+
+    def body(_, carry):
+        lo_i, hi_i = carry
+        mid = (lo_i + hi_i) >> 1
+        mid_c = jnp.minimum(mid, n - 1)
+        t_hi = table_hi[mid_c]
+        t_lo = table_lo[mid_c]
+        less = (t_hi < q_hi) | ((t_hi == q_hi) & (t_lo < q_lo))
+        lo_i = jnp.where(less, mid + 1, lo_i)
+        hi_i = jnp.where(less, hi_i, mid)
+        return lo_i, hi_i
+
+    lo_idx, _ = jax.lax.fori_loop(0, steps, body, (lo_idx, hi_idx))
+    return lo_idx
+
+
+class CoordTable:
+    """Sorted key table over a coordinate set, for repeated joins.
+
+    Equivalent of building the reference's cuckoo hash table once per
+    coordinate map (backend/hashmap/hashmap_cuda.cu) and querying it many
+    times (`sphashquery`, nn/functional/query.py:8-33).
+    """
+
+    def __init__(self, hi, lo, perm):
+        self.hi = hi      # sorted keys
+        self.lo = lo
+        self.perm = perm  # sorted position -> original row
+
+    def query(self, coords: jnp.ndarray) -> jnp.ndarray:
+        """Return index of each query coord in the original coordinate rows,
+        or -1 when absent (mirrors sphashquery's miss convention)."""
+        shape = coords.shape[:-1]
+        flat = coords.reshape(-1, coords.shape[-1])
+        q_hi, q_lo = pack_coords(flat)
+        pos = lower_bound(self.hi, self.lo, q_hi, q_lo)
+        pos_c = jnp.minimum(pos, self.hi.shape[0] - 1)
+        hit = (self.hi[pos_c] == q_hi) & (self.lo[pos_c] == q_lo) & key_is_valid(q_hi)
+        idx = jnp.where(hit, self.perm[pos_c], -1)
+        return idx.reshape(shape)
+
+
+def build_table(coords: jnp.ndarray) -> CoordTable:
+    hi, lo = pack_coords(coords)
+    perm = jnp.arange(coords.shape[0], dtype=jnp.int32)
+    s_hi, s_lo, s_perm = sort_by_key(hi, lo, perm)
+    return CoordTable(s_hi, s_lo, s_perm)
+
+
+def unique_coords(coords: jnp.ndarray, out_capacity: int):
+    """Deduplicate coordinate rows into a fixed-capacity output.
+
+    Returns (out_coords, inverse, out_nnz):
+      * out_coords: (out_capacity, 4) int32, unique coords in (b, z, y, x)
+        lexicographic key order, padded with INVALID_COORD;
+      * inverse:    (N,) int32, for each input row the slot of its unique
+        coord, or -1 for padding/overflowed rows;
+      * out_nnz:    int32 scalar, number of unique coords (clamped).
+
+    Equivalent of `torch.unique(coords, dim=0)` + `sphashquery` inverse in
+    voxel_to_aux (segmentation/core/models/utils.py:45-51). Row *order*
+    differs from torch.unique (which sorts by the column tuple as given);
+    all downstream math is row-order invariant.
+    """
+    n = coords.shape[0]
+    hi, lo = pack_coords(coords)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    s_hi, s_lo, s_idx = sort_by_key(hi, lo, idx)
+
+    prev_hi = jnp.concatenate([jnp.full((1,), -1, jnp.int32), s_hi[:-1]])
+    prev_lo = jnp.concatenate([jnp.full((1,), -1, jnp.int32), s_lo[:-1]])
+    valid = key_is_valid(s_hi)
+    is_new = ((s_hi != prev_hi) | (s_lo != prev_lo)) & valid
+
+    slot = jnp.cumsum(is_new.astype(jnp.int32)) - 1  # unique slot per sorted row
+    out_nnz = jnp.minimum(jnp.sum(is_new.astype(jnp.int32)), out_capacity)
+
+    in_range = valid & (slot < out_capacity)
+    slot_or_dump = jnp.where(in_range, slot, out_capacity)
+
+    # Unique coords: first row of each group writes its coords to its slot.
+    write_slot = jnp.where(is_new & in_range, slot, out_capacity)
+    out_coords = jnp.full((out_capacity + 1, 4), INVALID_COORD, dtype=jnp.int32)
+    out_coords = out_coords.at[write_slot].set(coords[s_idx], mode="drop")
+    out_coords = out_coords[:out_capacity]
+
+    # Inverse map back to original row order.
+    inverse = jnp.zeros((n,), jnp.int32).at[s_idx].set(
+        jnp.where(in_range, slot_or_dump, -1).astype(jnp.int32)
+    )
+    return out_coords, inverse, out_nnz
+
+
+@functools.lru_cache(maxsize=None)
+def kernel_offsets_np(size: Union[int, Int3], stride: Union[int, Int3] = 1,
+                      dilation: Union[int, Int3] = 1) -> np.ndarray:
+    """Enumerate kernel tap offsets, replicating the reference's weight
+    layout exactly (torchsparse nn/utils/kernel.py:11-32): odd kernel
+    volumes are z-major (MinkowskiEngine compatible), even are x-major.
+    """
+    size = make_ntuple(size)
+    stride = make_ntuple(stride)
+    dilation = make_ntuple(dilation)
+    axes = [
+        np.arange(-size[k] // 2 + 1, size[k] // 2 + 1) * stride[k] * dilation[k]
+        for k in range(3)
+    ]
+    if int(np.prod(size)) % 2 == 1:
+        offs = [[x, y, z] for z in axes[2] for y in axes[1] for x in axes[0]]
+    else:
+        offs = [[x, y, z] for x in axes[0] for y in axes[1] for z in axes[2]]
+    return np.asarray(offs, dtype=np.int32)

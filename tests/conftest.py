@@ -1,0 +1,16 @@
+import os
+
+# Tests always run on a virtual 8-device CPU mesh: the host environment pins
+# JAX_PLATFORMS to the remote TPU ('axon'), which would make every tiny test
+# case a slow tunnel round-trip and use MXU default matmul precision.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# sitecustomize may have imported jax before this file ran, in which case the
+# env var above is too late — override through the config API as well.
+jax.config.update("jax_platforms", "cpu")
