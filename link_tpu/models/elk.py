@@ -1,0 +1,86 @@
+"""ELK block: linear large-kernel aggregation via trig reparameterization.
+
+Reference: segmentation/core/models/semantic_kitti/linkunet.py:94-185
+(ELKBlock). The position-dependent kernel weight w(p) is reparameterized in
+{sin, cos, cos_x} bases so the large-window convolution factorizes as
+per-voxel modulation -> block pre-aggregation (voxel_to_aux) -> r^3 window
+sum (aux_to_voxel) -> per-voxel demodulation. Cost is linear in voxels and
+independent of the (r*s)^3 receptive field.
+
+`normalize_coords=True` reproduces the linkencoder variant which feeds
+coords / stride into the cos_x positional map (linkencoder.py:165).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..nn.modules import Linear, SparseConv3d, SparseLayerNorm
+from ..ops.elk import aux_to_voxel, voxel_to_aux
+from ..sparse.tensor import SparseTensor
+
+
+class ELKBlock(nn.Module):
+    inc: int
+    aux_capacity: int
+    groups: int = 1
+    baseop: str = "cos_x"
+    normalize_coords: bool = False
+
+    @nn.compact
+    def __call__(self, st: SparseTensor, s: int, r: int,
+                 train: bool = False) -> SparseTensor:
+        assert self.baseop in ("cos", "sin", "cos_x")
+        assert self.inc % self.groups == 0
+        cg = self.inc // self.groups
+
+        f_input = Linear(self.inc, self.inc, use_bias=False,
+                         name="pre_mix")(st.feats)
+        f_input = SparseLayerNorm(self.inc, name="pre_mix_norm")(f_input)
+        local = SparseConv3d(self.inc, self.inc, 3, name="local_mix")(st)
+
+        c3 = st.coords[:, :3].astype(jnp.float32)
+        if self.baseop == "cos_x" and self.normalize_coords:
+            c3 = c3 / st.stride[0]
+        pw = Linear(3, cg, use_bias=False, name="pos_weight")(c3)
+
+        if self.baseop == "cos_x":
+            alpha = self.param("alpha", nn.initializers.ones, (1, cg))
+            pw = pw * alpha
+        else:
+            pw = jnp.tile(pw, (1, self.groups))
+
+        pw_sin, pw_cos = jnp.sin(pw), jnp.cos(pw)
+
+        if self.baseop == "sin":
+            mod = jnp.concatenate([f_input * pw_sin, f_input * pw_cos], axis=1)
+        elif self.baseop == "cos":
+            mod = jnp.concatenate([f_input * pw_cos, f_input * pw_sin], axis=1)
+        else:  # cos_x
+            f_lin = f_input * pw
+            mod = jnp.concatenate(
+                [f_input * pw_cos, f_input * pw_sin, f_lin], axis=1)
+
+        aux, idx, counts = voxel_to_aux(st.replace(feats=mod), s,
+                                        self.aux_capacity)
+        agg = aux_to_voxel(aux, st.replace(feats=mod), idx, counts, r).feats
+
+        c = self.inc
+        if self.baseop == "sin":
+            # sin(a - b) addition theorem (linkunet.py:148)
+            new = agg[:, :c] * pw_cos - agg[:, c:] * pw_sin
+        elif self.baseop == "cos":
+            # cos(a - b) expansion (linkunet.py:162)
+            new = agg[:, :c] * pw_cos + agg[:, c:] * pw_sin
+        else:
+            # cos(a - b) + linear term, self-tap subtracted (linkunet.py:176)
+            new = (agg[:, :c] * pw_cos + agg[:, c:2 * c] * pw_sin
+                   + (agg[:, 2 * c:] - f_lin))
+
+        new = SparseLayerNorm(self.inc, name="norm")(new)
+        local_f = SparseLayerNorm(self.inc, name="norm_local")(local.feats)
+        return st.replace(feats=jax.nn.relu(new + local_f))

@@ -1,0 +1,91 @@
+"""LinK U-Net segmentation model (reference: linkunet.py:188-385, ELKUNet).
+
+MinkUNet topology with a parallel ELK branch at each of the 4 encoder
+levels: x_l = ReLU(stage_tail(stage(x)) + elk_tail(ELK(x, stride*s, r))).
+
+Static `capacities` bound the voxel count per stride level (index 0 =
+stride 1 ... index 4 = stride 16); `aux_capacities` bound ELK aux cells per
+level (defaults to the level capacity — always safe).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+from flax import linen as nn
+
+from ..nn.modules import Linear, SparseBatchNorm, SparseConv3d
+from ..sparse.tensor import SparseTensor, cat
+from .blocks import BasicConvolutionBlock, BasicDeconvolutionBlock, ResidualBlock
+from .elk import ELKBlock
+
+DEFAULT_CAPACITIES = (84992, 43008, 19968, 8192, 3072)
+
+
+class ELKUNet(nn.Module):
+    num_classes: int
+    cr: float = 1.0
+    r: int = 2
+    s: int = 3
+    groups: int = 1
+    baseop: str = "cos_x"
+    in_channels: int = 4
+    capacities: Tuple[int, ...] = DEFAULT_CAPACITIES
+    aux_capacities: Optional[Tuple[int, ...]] = None
+    bn_axis: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: SparseTensor, train: bool = False):
+        cs = [int(self.cr * c) for c in [64] * 9]
+        caps = self.capacities
+        aux_caps = self.aux_capacities or caps[1:]
+        ax = self.bn_axis
+
+        def stem(st):
+            st = SparseConv3d(self.in_channels, cs[0], 3, name="stem0")(st)
+            st = SparseBatchNorm(cs[0], axis_name=ax, name="stem0_bn")(st, train)
+            st = st.replace(feats=jax.nn.relu(st.feats))
+            st = SparseConv3d(cs[0], cs[0], 3, name="stem1")(st)
+            st = SparseBatchNorm(cs[0], axis_name=ax, name="stem1_bn")(st, train)
+            return st.replace(feats=jax.nn.relu(st.feats))
+
+        x0 = stem(x)
+
+        feats_list = [x0]
+        st = x0
+        for lvl in range(4):
+            cin, cout = cs[lvl], cs[lvl + 1]
+            st_0 = BasicConvolutionBlock(
+                cin, cin, ks=2, stride=2, out_capacity=caps[lvl + 1],
+                bn_axis=ax, name=f"down{lvl+1}")(st, train)
+            y = ResidualBlock(cin, cout, bn_axis=ax,
+                              name=f"stage{lvl+1}_0")(st_0, train)
+            y = ResidualBlock(cout, cout, bn_axis=ax,
+                              name=f"stage{lvl+1}_1")(y, train)
+            y = SparseConv3d(cout, cout, 3, name=f"stage{lvl+1}_tail")(y)
+            y = SparseBatchNorm(cout, axis_name=ax,
+                                name=f"stage{lvl+1}_tail_bn")(y, train)
+            lk = ELKBlock(cin, aux_capacity=aux_caps[lvl], groups=self.groups,
+                          baseop=self.baseop, name=f"elk{lvl+1}")(
+                              st_0, st_0.stride[0] * self.s, self.r, train)
+            lk = SparseConv3d(cin, cout, 3, name=f"elk{lvl+1}_tail")(lk)
+            lk = SparseBatchNorm(cout, axis_name=ax,
+                                 name=f"elk{lvl+1}_tail_bn")(lk, train)
+            st = y.replace(feats=jax.nn.relu(y.feats + lk.feats))
+            feats_list.append(st)
+
+        x0, x1, x2, x3, x4 = feats_list
+
+        y = x4
+        for lvl, skip, cin, cout in ((1, x3, cs[4], cs[5]), (2, x2, cs[5], cs[6]),
+                                     (3, x1, cs[6], cs[7]), (4, x0, cs[7], cs[8])):
+            y = BasicDeconvolutionBlock(cin, cout, ks=2, stride=2, bn_axis=ax,
+                                        name=f"up{lvl}_deconv")(y, train)
+            y = cat([y, skip])
+            y = ResidualBlock(cout + skip.num_channels, cout, bn_axis=ax,
+                              name=f"up{lvl}_res0")(y, train)
+            y = ResidualBlock(cout, cout, bn_axis=ax,
+                              name=f"up{lvl}_res1")(y, train)
+
+        return Linear(cs[8], self.num_classes, name="classifier")(y.feats)

@@ -1,0 +1,80 @@
+"""Forward smoke + jit tests for segmentation models."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from link_tpu.models.linkunet import ELKUNet
+from link_tpu.models.linkencoder import ELKEncoder
+from link_tpu.sparse.tensor import make_sparse_tensor
+
+import oracles
+from test_sparse_core import pad_coords, pad_feats
+
+CAPS = (512, 256, 128, 64, 32)
+
+
+def _cloud(n=400, channels=4, batch=2, seed=21):
+    rng = np.random.default_rng(seed)
+    coords, feats = oracles.random_cloud(rng, n, span=(40, 40, 16),
+                                         batch=batch, channels=channels)
+    cap = CAPS[0]
+    return (pad_feats(feats, cap), pad_coords(coords, cap), len(coords))
+
+
+def test_elkunet_forward_jit():
+    feats, coords, n = _cloud()
+    model = ELKUNet(num_classes=20, cr=0.125, capacities=CAPS)
+
+    def fwd(params, f, c, nnz, train):
+        st = make_sparse_tensor(f, c, nnz=nnz)
+        return model.apply(params, st, train,
+                           mutable=["batch_stats"] if train else False)
+
+    st = make_sparse_tensor(feats, coords, nnz=n)
+    params = model.init(jax.random.PRNGKey(0), st, False)
+    logits = jax.jit(fwd, static_argnums=4)(params, feats, coords,
+                                            jnp.int32(n), False)
+    assert logits.shape == (CAPS[0], 20)
+    assert np.isfinite(np.asarray(logits)[:n]).all()
+
+    # train mode mutates batch_stats
+    logits2, mut = fwd(params, feats, coords, jnp.int32(n), True)
+    assert "batch_stats" in mut
+    assert np.isfinite(np.asarray(logits2)[:n]).all()
+
+
+def test_elkencoder_forward():
+    feats, coords, n = _cloud(seed=22)
+    model = ELKEncoder(num_classes=20, cr=0.125, capacities=CAPS)
+    st = make_sparse_tensor(feats, coords, nnz=n)
+    params = model.init(jax.random.PRNGKey(0), st, False)
+    logits = model.apply(params, st, False)
+    assert logits.shape == (CAPS[0], 20)
+    assert np.isfinite(np.asarray(logits)[:n]).all()
+
+
+def test_elkunet_grads_flow():
+    feats, coords, n = _cloud(seed=23)
+    model = ELKUNet(num_classes=20, cr=0.125, capacities=CAPS)
+    st = make_sparse_tensor(feats, coords, nnz=n)
+    variables = model.init(jax.random.PRNGKey(0), st, False)
+    params = variables["params"]
+    bs = variables["batch_stats"]
+    labels = np.random.default_rng(0).integers(0, 20, CAPS[0])
+    mask = (np.arange(CAPS[0]) < n).astype(np.float32)
+
+    def loss_fn(p):
+        logits, _ = model.apply({"params": p, "batch_stats": bs},
+                                st, True, mutable=["batch_stats"])
+        lp = jax.nn.log_softmax(logits)
+        nll = -jnp.take_along_axis(lp, labels[:, None], axis=1)[:, 0]
+        return jnp.sum(nll * mask) / mask.sum()
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+    # at least the classifier and an ELK pos_weight should get nonzero grads
+    assert float(jnp.abs(grads["classifier"]["kernel"]).sum()) > 0
+    assert float(jnp.abs(grads["elk1"]["pos_weight"]["kernel"]).sum()) > 0
