@@ -1,0 +1,97 @@
+"""Benchmark: ELKUNet (LinK U-Net, cos_x:(2x3)^3) single-chip inference throughput.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference repo publishes no latency numbers (SURVEY.md §6);
+its ad-hoc probe is dist_test.py's middle-third timing on one GPU. We
+benchmark the same quantity — full-model forward scans/sec at batch 1,
+80k-voxel SemanticKITTI-shaped scans — and compare against an estimated
+reference GPU throughput of 10 scans/sec (~100 ms/scan for LinK-UNet
+cr1.0 at 0.05 m on the reference's RTX-3090-class hardware; the paper's
+headline latency scale). vs_baseline = ours / 10.
+
+The timing loop runs on-device via lax.fori_loop: the TPU in this
+environment sits behind a tunnel with ~100ms+ per-dispatch latency, so
+host-side per-scan dispatch would measure the tunnel, not the chip.
+"""
+
+import json
+import os
+import time
+
+# Persistent compilation cache: remote compile through the tunnel is slow
+# (minutes for large modules); cache makes repeat runs start instantly.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+
+import numpy as np
+
+REFERENCE_SCANS_PER_SEC = 10.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from link_tpu.models.linkunet import ELKUNet, DEFAULT_CAPACITIES
+    from link_tpu.data.semantic_kitti import SyntheticSemanticKITTI
+    from link_tpu.data.collate import collate_scans
+    from link_tpu.sparse.tensor import make_sparse_tensor
+
+    caps = DEFAULT_CAPACITIES
+    n_scans = 4
+    # split="train" applies the reference's 80k-voxel cap (val runs uncapped
+    # in the reference and needs larger capacities).
+    ds = SyntheticSemanticKITTI(length=n_scans, num_points=80000,
+                                n_raw_points=120000, split="train")
+    batches = [collate_scans([ds[i]], caps[0]) for i in range(n_scans)]
+
+    model = ELKUNet(num_classes=20, cr=1.0, capacities=caps)
+
+    b0 = batches[0]
+    st = make_sparse_tensor(b0["feats"], b0["coords"], nnz=b0["nnz"])
+    t0 = time.perf_counter()
+    params = jax.jit(model.init, static_argnums=2)(
+        jax.random.PRNGKey(0), st, False)
+    jax.block_until_ready(params)
+    print(f"# init: {time.perf_counter() - t0:.1f}s", flush=True)
+
+    feats = jnp.stack([jnp.asarray(b["feats"]) for b in batches])
+    coords = jnp.stack([jnp.asarray(b["coords"]) for b in batches])
+    nnzs = jnp.stack([jnp.asarray(b["nnz"]) for b in batches])
+
+    n_iters = 16
+
+    @jax.jit
+    def bench_loop(params, feats, coords, nnzs):
+        def body(i, acc):
+            k = i % n_scans
+            st = make_sparse_tensor(feats[k], coords[k], nnz=nnzs[k])
+            out = model.apply(params, st, False)
+            return acc + jnp.sum(out) * 1e-9
+
+        return jax.lax.fori_loop(0, n_iters, body, 0.0)
+
+    t0 = time.perf_counter()
+    jax.block_until_ready(bench_loop(params, feats, coords, nnzs))
+    print(f"# compile+first: {time.perf_counter() - t0:.1f}s", flush=True)
+
+    t0 = time.perf_counter()
+    jax.block_until_ready(bench_loop(params, feats, coords, nnzs))
+    dt = time.perf_counter() - t0
+    scans_per_sec = n_iters / dt
+
+    print(json.dumps({
+        "metric": "semantic_kitti_elkunet_infer",
+        "value": round(scans_per_sec, 3),
+        "unit": "scans/sec/chip",
+        "vs_baseline": round(scans_per_sec / REFERENCE_SCANS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+"""Fixed-capacity batch collation.
+
+Replaces torchsparse's `sparse_collate_fn` (reference:
+utils/collate.py:12-62): scans are concatenated with a batch-index column
+appended to coords, then padded to a static capacity so every step
+compiles once. Padding coords use the INVALID sentinel; padding labels use
+the ignore label.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..sparse.coords import INVALID_COORD
+
+
+def collate_scans(scans: List[Dict], capacity: int,
+                  point_capacity: Optional[int] = None,
+                  ignore_label: int = 0) -> Dict[str, np.ndarray]:
+    coords, feats, labels = [], [], []
+    for b, scan in enumerate(scans):
+        c = scan["coords"]
+        coords.append(np.concatenate(
+            [c, np.full((len(c), 1), b, np.int32)], axis=1))
+        feats.append(scan["feats"])
+        labels.append(scan["labels"])
+    coords = np.concatenate(coords)
+    feats = np.concatenate(feats)
+    labels = np.concatenate(labels)
+    n = len(coords)
+    if n > capacity:
+        raise ValueError(f"batch voxel count {n} exceeds capacity {capacity}")
+
+    out_c = np.full((capacity, 4), INVALID_COORD, np.int32)
+    out_f = np.zeros((capacity, feats.shape[1]), np.float32)
+    out_l = np.full((capacity,), ignore_label, np.int32)
+    out_c[:n], out_f[:n], out_l[:n] = coords, feats, labels
+
+    batch = {
+        "coords": out_c,
+        "feats": out_f,
+        "labels": out_l,
+        "nnz": np.int32(n),
+    }
+
+    if point_capacity is not None:
+        # Point-level eval tensors: full-resolution labels + inverse map,
+        # with per-scan voxel row offsets so outputs can be scattered back.
+        pl = np.full((point_capacity,), -1, np.int32)
+        inv = np.full((point_capacity,), -1, np.int32)
+        scan_offsets, pt = [], 0
+        voxel_off = 0
+        for scan in scans:
+            npnt = len(scan["point_labels"])
+            if pt + npnt > point_capacity:
+                raise ValueError("point capacity exceeded")
+            pl[pt:pt + npnt] = scan["point_labels"]
+            inv[pt:pt + npnt] = scan["inverse_map"] + voxel_off
+            scan_offsets.append((pt, npnt))
+            pt += npnt
+            voxel_off += len(scan["coords"])
+        batch["point_labels"] = pl
+        batch["point_inverse"] = inv
+        batch["num_points"] = np.int32(pt)
+    return batch

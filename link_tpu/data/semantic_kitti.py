@@ -1,0 +1,204 @@
+"""SemanticKITTI dataset: host-side NumPy pipeline.
+
+Reference: segmentation/core/datasets/semantic_kitti.py:99-344
+(SemanticKITTIInternal). Semantics preserved:
+  * sequence splits train 00-10 \\ 08 / val 08 / test 11-21;
+  * label remap LUT (raw & 0xFFFF -> 20 classes, moving classes folded);
+  * train aug: random z-rotation, scale U[0.95, 1.05], 4-way flip;
+  * voxelization: round(xyz / voxel_size), subtract per-scan min,
+    `sparse_quantize` dedup keeping the first point per voxel;
+  * train cap `num_points` (80k) voxels via random choice;
+  * per-scan outputs: voxel feats/coords/labels + full-point labels and
+    inverse map for point-level eval.
+
+Output is plain NumPy dicts; `collate` pads to fixed capacity for XLA.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+# semantic-kitti.yaml learning_map (reference semantic_kitti.py:16-93).
+LEARNING_MAP = {
+    0: 0, 1: 0, 10: 1, 11: 2, 13: 5, 15: 3, 16: 5, 18: 4, 20: 5, 30: 6,
+    31: 7, 32: 8, 40: 9, 44: 10, 48: 11, 49: 12, 50: 13, 51: 14, 52: 0,
+    60: 9, 70: 15, 71: 16, 72: 17, 80: 18, 81: 19, 99: 0, 252: 1, 253: 7,
+    254: 6, 255: 8, 256: 5, 257: 5, 258: 4, 259: 5,
+}
+
+CLASS_NAMES = [
+    "unlabeled", "car", "bicycle", "motorcycle", "truck", "other-vehicle",
+    "person", "bicyclist", "motorcyclist", "road", "parking", "sidewalk",
+    "other-ground", "building", "fence", "vegetation", "trunk", "terrain",
+    "pole", "traffic-sign",
+]
+
+NUM_CLASSES = 20
+IGNORE_LABEL = 0
+
+TRAIN_SEQS = ["00", "01", "02", "03", "04", "05", "06", "07", "09", "10"]
+VAL_SEQS = ["08"]
+TEST_SEQS = ["11", "12", "13", "14", "15", "16", "17", "18", "19", "20", "21"]
+
+
+def build_label_map() -> np.ndarray:
+    lut = np.full(260, 255, np.int64)
+    for k, v in LEARNING_MAP.items():
+        lut[k] = v
+    return lut
+
+
+def ravel_hash(x: np.ndarray) -> np.ndarray:
+    """torchsparse utils/quantize.py:10-21."""
+    assert x.ndim == 2
+    x = x - np.min(x, axis=0)
+    x = x.astype(np.uint64, copy=False)
+    xmax = np.max(x, axis=0).astype(np.uint64) + 1
+    h = np.zeros(x.shape[0], dtype=np.uint64)
+    for k in range(x.shape[1] - 1):
+        h += x[:, k]
+        h *= xmax[k + 1]
+    h += x[:, -1]
+    return h
+
+
+def sparse_quantize(coords: np.ndarray):
+    """Dedup int voxel coords; returns (coords, index, inverse)
+    (quantize.py:24-47 at voxel_size 1 on pre-divided int coords)."""
+    _, indices, inverse = np.unique(ravel_hash(coords), return_index=True,
+                                    return_inverse=True)
+    return coords[indices], indices, inverse
+
+
+def augment(points: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Random z-rot + global scale + 4-way flip (semantic_kitti.py:199-218)."""
+    theta = rng.uniform(0, 2 * np.pi)
+    scale = rng.uniform(0.95, 1.05)
+    rot = np.array([[np.cos(theta), np.sin(theta), 0],
+                    [-np.sin(theta), np.cos(theta), 0],
+                    [0, 0, 1]])
+    out = points.copy()
+    out[:, :3] = out[:, :3] @ rot * scale
+    flip = rng.choice(4)
+    if flip == 1:
+        out[:, 0] = -out[:, 0]
+    elif flip == 2:
+        out[:, 1] = -out[:, 1]
+    elif flip == 3:
+        out[:, :2] = -out[:, :2]
+    return out
+
+
+def process_scan(points: np.ndarray, labels: np.ndarray, voxel_size: float,
+                 num_points: int, train: bool,
+                 rng: Optional[np.random.Generator] = None) -> Dict:
+    """points (N, 4) float32 [x y z intensity]; labels (N,) int remapped."""
+    if train:
+        points = augment(points, rng or np.random.default_rng())
+    pc = np.round(points[:, :3] / voxel_size).astype(np.int32)
+    pc -= pc.min(0, keepdims=True)
+
+    coords, inds, inverse = sparse_quantize(pc)
+    if train and len(inds) > num_points:
+        inds = (rng or np.random.default_rng()).choice(
+            inds, num_points, replace=False)
+        coords = pc[inds]
+    return {
+        "feats": points[inds].astype(np.float32),
+        "coords": coords.astype(np.int32),
+        "labels": labels[inds].astype(np.int32),
+        "point_labels": labels.astype(np.int32),
+        "inverse_map": inverse.astype(np.int32),
+    }
+
+
+class SemanticKITTI:
+    def __init__(self, root: str, split: str = "train",
+                 voxel_size: float = 0.05, num_points: int = 80000,
+                 sample_stride: int = 1):
+        self.root = root
+        self.split = split
+        self.voxel_size = voxel_size
+        self.num_points = num_points
+        seqs = {"train": TRAIN_SEQS, "val": VAL_SEQS, "test": TEST_SEQS}[split]
+        self.files: List[str] = []
+        for seq in seqs:
+            d = os.path.join(root, seq, "velodyne")
+            if not os.path.isdir(d):
+                continue
+            self.files.extend(os.path.join(d, f) for f in sorted(os.listdir(d)))
+        if sample_stride > 1:
+            self.files = self.files[::sample_stride]
+        self.label_map = build_label_map()
+
+    def __len__(self):
+        return len(self.files)
+
+    def __getitem__(self, index: int, rng=None) -> Dict:
+        points = np.fromfile(self.files[index], np.float32).reshape(-1, 4)
+        if self.split != "test":
+            lf = self.files[index].replace("velodyne", "labels").replace(
+                ".bin", ".label")
+            if os.path.exists(lf):
+                raw = np.fromfile(lf, np.int32)
+                labels = self.label_map[raw & 0xFFFF]
+            else:
+                labels = np.zeros(len(points), np.int64)
+        else:
+            labels = np.zeros(len(points), np.int64)
+        out = process_scan(points, labels, self.voxel_size, self.num_points,
+                           self.split == "train", rng)
+        out["file_name"] = self.files[index]
+        return out
+
+
+def synthetic_scan(rng: np.random.Generator, n_points: int = 120000,
+                   voxel_size: float = 0.05) -> Dict:
+    """Synthetic LiDAR-like scan (ground plane + scatterers) for tests and
+    benchmarks when the real dataset is absent. Spatial statistics roughly
+    follow SemanticKITTI (annular ground + vertical structures)."""
+    n_ground = n_points // 2
+    r = np.sqrt(rng.uniform(4, 2500, n_ground))
+    th = rng.uniform(0, 2 * np.pi, n_ground)
+    ground = np.stack([r * np.cos(th), r * np.sin(th),
+                       rng.normal(-1.7, 0.05, n_ground)], 1)
+    n_obj = n_points - n_ground
+    centers = rng.uniform(-40, 40, (60, 3)) * np.array([1, 1, 0])
+    which = rng.integers(0, 60, n_obj)
+    obj = centers[which] + rng.normal(0, 1.5, (n_obj, 3)) * np.array([1, 1, 2])
+    obj[:, 2] = np.abs(obj[:, 2]) * 0.5 - 1.5
+    xyz = np.concatenate([ground, obj]).astype(np.float32)
+    intensity = rng.uniform(0, 1, (n_points, 1)).astype(np.float32)
+    points = np.concatenate([xyz, intensity], 1)
+    labels = np.concatenate([
+        np.full(n_ground, 9), rng.integers(1, 20, n_obj)]).astype(np.int64)
+    return {"points": points, "labels": labels}
+
+
+class SyntheticSemanticKITTI:
+    """Drop-in synthetic stand-in for SemanticKITTI."""
+
+    def __init__(self, length: int = 64, voxel_size: float = 0.05,
+                 num_points: int = 80000, split: str = "train", seed: int = 0,
+                 n_raw_points: int = 120000):
+        self.length = length
+        self.voxel_size = voxel_size
+        self.num_points = num_points
+        self.split = split
+        self.seed = seed
+        self.n_raw = n_raw_points
+
+    def __len__(self):
+        return self.length
+
+    def __getitem__(self, index: int, rng=None) -> Dict:
+        gen = np.random.default_rng(self.seed + index)
+        scan = synthetic_scan(gen, self.n_raw, self.voxel_size)
+        out = process_scan(scan["points"], scan["labels"], self.voxel_size,
+                           self.num_points, self.split == "train",
+                           rng or gen)
+        out["file_name"] = f"synthetic/{index:06d}.bin"
+        return out

@@ -1,1 +1,1 @@
-from . import elk  # noqa: F401
+from . import elk, point  # noqa: F401

@@ -1,0 +1,198 @@
+"""Segmentation training runtime: train state, steps, DP, epoch loop.
+
+Replaces torchpack's Trainer + SemanticKITTITrainer (reference:
+segmentation/core/trainers.py:14-121, segmentation/train.py:31-184).
+The torch DDP + MPI launcher stack becomes a single `shard_map` over a
+1-D `data` mesh: gradients are `pmean`ed inside the step, metric counters
+`psum`ed (reference callbacks.py:56-61), and BatchNorm optionally syncs
+stats through the same axis name.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..sparse.tensor import make_sparse_tensor
+from . import losses as L
+from .metrics import iou_counters
+
+DATA_AXIS = "data"
+
+
+@struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def make_sgd(lr_schedule, momentum=0.9, weight_decay=1e-4, nesterov=True):
+    """torch.optim.SGD semantics (builder.py:80-86): coupled weight decay
+    added to the gradient, then (nesterov) momentum, then lr."""
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.trace(decay=momentum, nesterov=nesterov),
+        optax.scale_by_learning_rate(lr_schedule),
+    )
+
+
+def seg_train_step(model, tx, state: TrainState, batch: Dict,
+                   ignore_label: int = 0, axis_name: Optional[str] = None):
+    """One optimization step: forward, CE+Lovász, grad (pmean over mesh),
+    SGD update (trainers.py:41-81)."""
+
+    def loss_fn(params):
+        st = make_sparse_tensor(batch["feats"], batch["coords"],
+                                nnz=batch["nnz"])
+        logits, mut = model.apply(
+            {"params": params, "batch_stats": state.batch_stats},
+            st, True, mutable=["batch_stats"])
+        valid = jnp.arange(logits.shape[0]) < batch["nnz"]
+        loss, aux = L.segmentation_loss(logits, batch["labels"], valid,
+                                        ignore_label)
+        return loss, (mut["batch_stats"], aux)
+
+    (loss, (new_bs, aux)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(state.params)
+    if axis_name is not None:
+        grads = jax.lax.pmean(grads, axis_name)
+        loss = jax.lax.pmean(loss, axis_name)
+        aux = jax.lax.pmean(aux, axis_name)
+        new_bs = jax.lax.pmean(new_bs, axis_name)
+    updates, new_opt = tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    new_state = TrainState(step=state.step + 1, params=new_params,
+                           batch_stats=new_bs, opt_state=new_opt)
+    metrics = {"loss": loss, **aux}
+    return new_state, metrics
+
+
+def seg_eval_step(model, state: TrainState, batch: Dict, num_classes: int,
+                  ignore_label: int = 0, axis_name: Optional[str] = None):
+    """Voxel-level predictions + IoU counters (trainers.py:84-103 computes
+    point-level via inverse_map; that remap happens host-side)."""
+    st = make_sparse_tensor(batch["feats"], batch["coords"], nnz=batch["nnz"])
+    logits = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats}, st, False)
+    preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    valid = jnp.arange(logits.shape[0]) < batch["nnz"]
+    counters = iou_counters(preds, batch["labels"], valid, num_classes,
+                            ignore_label)
+    if axis_name is not None:
+        counters = jax.lax.psum(counters, axis_name)
+    return preds, counters
+
+
+def make_data_mesh(devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def shard_step(step_fn: Callable, mesh: Mesh, out_state: bool = True):
+    """Wrap a per-replica step for DP execution via shard_map. Batch arrays
+    must carry a leading device axis; state is replicated.
+
+    Note: prefer `make_dp_train_step` (GSPMD vmap formulation) for big
+    models — XLA's manual-sharding pass compiles pathologically slowly on
+    graphs with many sort/scatter ops; the vmap+NamedSharding form
+    partitions trivially along the device axis."""
+
+    def sharded(state, batch):
+        local = jax.tree_util.tree_map(lambda x: x[0], batch)
+        return step_fn(state, local)
+
+    in_specs = (P(), P(DATA_AXIS))
+    out_specs = (P(), P()) if out_state else P()
+    return jax.shard_map(sharded, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)
+
+
+def stack_device_batches(batches) -> Dict[str, np.ndarray]:
+    return {k: np.stack([b[k] for b in batches]) for k in batches[0]}
+
+
+def _replicated(mesh: Mesh):
+    return jax.sharding.NamedSharding(mesh, P())
+
+
+def _data_sharded(mesh: Mesh):
+    return jax.sharding.NamedSharding(mesh, P(DATA_AXIS))
+
+
+def make_dp_train_step(model, tx, mesh: Mesh, ignore_label: int = 0):
+    """GSPMD data-parallel train step: batch arrays carry a leading
+    per-device axis sharded over the `data` mesh axis; the per-replica loss
+    is vmapped over that axis, so every sort/join/scatter stays local to its
+    shard and XLA only inserts the gradient all-reduce (the `jax.lax.pmean`
+    moral equivalent of DDP's bucketed NCCL allreduce,
+    detection/det3d/core/utils/dist_utils.py:8-28).
+
+    BatchNorm statistics are per-replica, then averaged across replicas for
+    the running estimate — matching torch DDP + plain BatchNorm as used by
+    the segmentation reference (no SyncBN there, train.py:97-100)."""
+
+    def per_replica_loss(params, batch_stats, b):
+        st = make_sparse_tensor(b["feats"], b["coords"], nnz=b["nnz"])
+        logits, mut = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            st, True, mutable=["batch_stats"])
+        valid = jnp.arange(logits.shape[0]) < b["nnz"]
+        loss, aux = L.segmentation_loss(logits, b["labels"], valid,
+                                        ignore_label)
+        return loss, (mut["batch_stats"], aux)
+
+    def step(state: TrainState, gbatch: Dict):
+        def loss_fn(params):
+            losses, (bs, aux) = jax.vmap(
+                per_replica_loss, in_axes=(None, None, 0))(
+                    params, state.batch_stats, gbatch)
+            mean0 = lambda t: jax.tree_util.tree_map(
+                lambda x: jnp.mean(x, axis=0), t)
+            return jnp.mean(losses), (mean0(bs), mean0(aux))
+
+        (loss, (new_bs, aux)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=new_params,
+                               batch_stats=new_bs, opt_state=new_opt)
+        return new_state, {"loss": loss, **aux}
+
+    return jax.jit(step,
+                   in_shardings=(_replicated(mesh), _data_sharded(mesh)),
+                   out_shardings=(_replicated(mesh), _replicated(mesh)),
+                   donate_argnums=0)
+
+
+def make_dp_eval_step(model, mesh: Mesh, num_classes: int,
+                      ignore_label: int = 0):
+    """Data-parallel eval: per-replica argmax + IoU counters, summed across
+    replicas (reference MeanIoU allreduce, callbacks.py:56-61)."""
+
+    def per_replica(params, batch_stats, b):
+        st = make_sparse_tensor(b["feats"], b["coords"], nnz=b["nnz"])
+        logits = model.apply({"params": params, "batch_stats": batch_stats},
+                             st, False)
+        preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        valid = jnp.arange(logits.shape[0]) < b["nnz"]
+        return preds, iou_counters(preds, b["labels"], valid, num_classes,
+                                   ignore_label)
+
+    def step(state: TrainState, gbatch: Dict):
+        preds, counters = jax.vmap(per_replica, in_axes=(None, None, 0))(
+            state.params, state.batch_stats, gbatch)
+        return preds, jnp.sum(counters, axis=0)
+
+    return jax.jit(step,
+                   in_shardings=(_replicated(mesh), _data_sharded(mesh)),
+                   out_shardings=(_data_sharded(mesh), _replicated(mesh)))

@@ -1,0 +1,85 @@
+"""MinkUNet / SPVCNN forward smoke + point-op tests + config system."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from link_tpu.models.minkunet import MinkUNet
+from link_tpu.models.spvcnn import SPVCNN
+from link_tpu.ops import point as ptops
+from link_tpu.sparse.tensor import make_sparse_tensor
+from link_tpu.utils.config import load_config
+
+import oracles
+from test_sparse_core import pad_coords, pad_feats
+
+CAPS = (512, 256, 128, 64, 32)
+
+
+def _cloud(seed=31):
+    rng = np.random.default_rng(seed)
+    coords, feats = oracles.random_cloud(rng, 380, span=(40, 40, 16),
+                                         batch=2, channels=4)
+    return pad_feats(feats, CAPS[0]), pad_coords(coords, CAPS[0]), len(coords)
+
+
+def test_minkunet_forward():
+    feats, coords, n = _cloud()
+    model = MinkUNet(num_classes=20, cr=0.25, capacities=CAPS)
+    st = make_sparse_tensor(feats, coords, nnz=n)
+    params = model.init(jax.random.PRNGKey(0), st, False)
+    out = model.apply(params, st, False)
+    assert out.shape == (CAPS[0], 20)
+    assert np.isfinite(np.asarray(out)[:n]).all()
+
+
+def test_spvcnn_forward():
+    feats, coords, n = _cloud(seed=32)
+    model = SPVCNN(num_classes=20, cr=0.25, capacities=CAPS)
+    st = make_sparse_tensor(feats, coords, nnz=n)
+    params = model.init(jax.random.PRNGKey(0), st, False)
+    out = model.apply(params, st, False)
+    assert out.shape == (CAPS[0], 20)
+    assert np.isfinite(np.asarray(out)[:n]).all()
+
+
+def test_voxel_to_point_trilinear_exact():
+    """Points at fractional positions between two voxels interpolate
+    linearly."""
+    vox_c = np.array([[0, 0, 0, 0], [4, 0, 0, 0]], np.int32)  # stride 4
+    vox_f = np.array([[0.0], [1.0]], np.float32)
+    st = make_sparse_tensor(pad_feats(vox_f, 8, fill=9.0),
+                            pad_coords(vox_c, 8), nnz=2, stride=4)
+    pts = np.array([[1.0, 0, 0, 0], [2.0, 0, 0, 0], [3.0, 0, 0, 0]],
+                   np.float32)
+    pt = ptops.make_point_tensor(np.zeros((3, 1), np.float32), pts)
+    out = ptops.voxel_to_point(st, pt)
+    np.testing.assert_allclose(np.asarray(out.feats)[:, 0],
+                               [0.25, 0.5, 0.75], atol=1e-5)
+
+
+def test_point_to_voxel_mean():
+    vox_c = np.array([[0, 0, 0, 0], [2, 0, 0, 0]], np.int32)
+    st = make_sparse_tensor(np.zeros((4, 1), np.float32),
+                            pad_coords(vox_c, 4), nnz=2, stride=2)
+    pts = np.array([[0.1, 0, 0, 0], [1.7, 0.2, 0.3, 0], [2.5, 0, 1.0, 0]],
+                   np.float32)
+    pf = np.array([[1.0], [3.0], [10.0]], np.float32)
+    pt = ptops.make_point_tensor(pf, pts)
+    out = ptops.point_to_voxel(st, pt)
+    np.testing.assert_allclose(np.asarray(out.feats)[:2, 0], [2.0, 10.0],
+                               atol=1e-5)
+
+
+def test_config_cascade(tmp_path):
+    (tmp_path / "default.yaml").write_text("a: 1\nmodel: {cr: 1.0}\n")
+    sub = tmp_path / "m"
+    sub.mkdir()
+    (sub / "default.yaml").write_text("model: {name: linkunet, cr: 0.5}\n")
+    (sub / "big.yaml").write_text("model: {cr: 2.0}\nb: 3\n")
+    cfg = load_config(str(sub / "big.yaml"), overrides=["model.cr=4.0", "c=x"])
+    assert cfg.a == 1
+    assert cfg.model.name == "linkunet"
+    assert cfg.model.cr == 4.0
+    assert cfg.b == 3
+    assert cfg.c == "x"
