@@ -1,0 +1,192 @@
+"""CenterHead: CenterPoint multi-task detection head + losses + decode.
+
+Reference: detection/det3d/models/bbox_heads/center_head.py:67-514 and
+losses/centernet_loss.py:6-62. Six task groups over nuScenes classes; per
+task a SepHead with branches reg(2)/height(1)/dim(3)/rot(2)/vel(2)/hm(C),
+each branch = Conv3x3+BN+ReLU -> Conv3x3 (hm final bias -2.19). Loss =
+FastFocal(hm) + weight * sum(code_weights * masked L1). Decode maps grid
+peaks to metric boxes; NMS happens outside (ops/nms.py).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+HEAD_NORM = dict(epsilon=1e-5, momentum=0.9)
+
+
+class HeadBranch(nn.Module):
+    out_channels: int
+    num_conv: int
+    head_conv: int = 64
+    final_kernel: int = 3
+    init_bias: Optional[float] = None
+    bn_axis: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = x
+        for i in range(self.num_conv - 1):
+            h = nn.Conv(self.head_conv,
+                        (self.final_kernel, self.final_kernel),
+                        padding=self.final_kernel // 2,
+                        use_bias=True, name=f"conv{i}")(h)
+            h = nn.BatchNorm(use_running_average=not train,
+                             axis_name=self.bn_axis, **HEAD_NORM,
+                             name=f"bn{i}")(h)
+            h = jax.nn.relu(h)
+        bias_init = (nn.initializers.constant(self.init_bias)
+                     if self.init_bias is not None else nn.initializers.zeros)
+        h = nn.Conv(self.out_channels,
+                    (self.final_kernel, self.final_kernel),
+                    padding=self.final_kernel // 2, use_bias=True,
+                    bias_init=bias_init, name="final")(h)
+        return h
+
+
+class CenterHead(nn.Module):
+    in_channels: int = 512
+    tasks: Tuple[Tuple[str, ...], ...] = (
+        ("car",), ("truck", "construction_vehicle"), ("bus", "trailer"),
+        ("barrier",), ("motorcycle", "bicycle"),
+        ("pedestrian", "traffic_cone"))
+    common_heads: Tuple[Tuple[str, Tuple[int, int]], ...] = (
+        ("reg", (2, 2)), ("height", (1, 2)), ("dim", (3, 2)),
+        ("rot", (2, 2)), ("vel", (2, 2)))
+    share_conv_channel: int = 64
+    num_hm_conv: int = 2
+    init_bias: float = -2.19
+    weight: float = 0.25
+    code_weights: Tuple[float, ...] = (1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 0.2,
+                                       0.2, 1.0, 1.0)
+    bn_axis: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False
+                 ) -> List[Dict[str, jnp.ndarray]]:
+        """x: (B, C, H, W) -> per-task dicts of NHWC maps."""
+        h = jnp.transpose(x, (0, 2, 3, 1))
+        h = nn.Conv(self.share_conv_channel, (3, 3), padding=1,
+                    use_bias=True, name="shared_conv")(h)
+        h = nn.BatchNorm(use_running_average=not train,
+                         axis_name=self.bn_axis, **HEAD_NORM,
+                         name="shared_bn")(h)
+        h = jax.nn.relu(h)
+
+        ret = []
+        for t, classes in enumerate(self.tasks):
+            out = {}
+            for name, (ch, ncv) in self.common_heads:
+                out[name] = HeadBranch(ch, ncv, bn_axis=self.bn_axis,
+                                       name=f"task{t}_{name}")(h, train)
+            out["hm"] = HeadBranch(len(classes), self.num_hm_conv,
+                                   init_bias=self.init_bias,
+                                   bn_axis=self.bn_axis,
+                                   name=f"task{t}_hm")(h, train)
+            ret.append(out)
+        return ret
+
+
+def _gather_feat(fmap: jnp.ndarray, ind: jnp.ndarray) -> jnp.ndarray:
+    """fmap (B, H*W, C), ind (B, M) -> (B, M, C)."""
+    return jax.vmap(lambda f, i: f[i])(fmap, ind)
+
+
+def fast_focal_loss(out, target, ind, mask, cat):
+    """CornerNet focal loss (centernet_loss.py:26-54). out/target: (B, H, W,
+    C) with out already sigmoid-clamped; ind/mask/cat: (B, M)."""
+    gt = jnp.power(1 - target, 4)
+    neg_loss = jnp.sum(jnp.log(1 - out) * jnp.square(out) * gt)
+
+    b, h, w, c = out.shape
+    flat = out.reshape(b, h * w, c)
+    pos_pix = _gather_feat(flat, ind)                     # (B, M, C)
+    pos_pred = jnp.take_along_axis(pos_pix, cat[..., None], axis=2)[..., 0]
+    m = mask.astype(jnp.float32)
+    num_pos = jnp.sum(m)
+    pos_loss = jnp.sum(jnp.log(jnp.maximum(pos_pred, 1e-12))
+                       * jnp.square(1 - pos_pred) * m)
+    return jnp.where(num_pos == 0, -neg_loss,
+                     -(pos_loss + neg_loss) / jnp.maximum(num_pos, 1.0))
+
+
+def reg_loss(output, mask, ind, target):
+    """Masked per-channel L1 (centernet_loss.py:6-24). output: (B, H, W, D);
+    returns (D,) per-channel loss."""
+    b, h, w, d = output.shape
+    pred = _gather_feat(output.reshape(b, h * w, d), ind)  # (B, M, D)
+    m = mask.astype(jnp.float32)[..., None]
+    loss = jnp.abs(pred * m - target * m)
+    loss = loss / (jnp.sum(m) + 1e-4)
+    return jnp.sum(loss, axis=(0, 1))
+
+
+def center_head_loss(preds: List[Dict], example: Dict, weight: float = 0.25,
+                     code_weights=(1.0,) * 6 + (0.2, 0.2, 1.0, 1.0)):
+    """center_head.py:252-293. example holds per-task stacked targets:
+    hm[t] (B, H, W, C_t), anno_box[t] (B, M, 10), ind/mask/cat[t] (B, M)."""
+    cw = jnp.asarray(code_weights)
+    total = 0.0
+    logs = {}
+    for t, pd in enumerate(preds):
+        hm = jnp.clip(jax.nn.sigmoid(pd["hm"]), 1e-4, 1 - 1e-4)
+        hm_loss = fast_focal_loss(hm, example["hm"][t], example["ind"][t],
+                                  example["mask"][t], example["cat"][t])
+        anno = jnp.concatenate(
+            [pd["reg"], pd["height"], pd["dim"], pd["vel"], pd["rot"]],
+            axis=-1)
+        box_loss = reg_loss(anno, example["mask"][t], example["ind"][t],
+                            example["anno_box"][t])
+        loc_loss = jnp.sum(box_loss * cw)
+        total = total + hm_loss + weight * loc_loss
+        logs[f"hm_loss_{t}"] = hm_loss
+        logs[f"loc_loss_{t}"] = loc_loss
+    logs["loss"] = total
+    return total, logs
+
+
+def decode_boxes(preds: List[Dict], test_cfg: Dict,
+                 num_classes: Sequence[int]):
+    """center_head.py:296-446 decode (no NMS): per task returns
+    (boxes (B, H*W, 9), scores (B, H*W), labels (B, H*W), mask (B, H*W)).
+    Labels are offset to global class ids."""
+    out = []
+    pc_range = test_cfg["pc_range"]
+    voxel_size = test_cfg["voxel_size"]
+    osf = test_cfg["out_size_factor"]
+    post_range = jnp.asarray(test_cfg["post_center_limit_range"])
+    score_thr = test_cfg["score_threshold"]
+    class_offset = 0
+    for t, pd in enumerate(preds):
+        hm = jax.nn.sigmoid(pd["hm"])
+        b, h, w, c = hm.shape
+        dim = jnp.exp(pd["dim"].reshape(b, h * w, 3))
+        rots = pd["rot"][..., 0:1].reshape(b, h * w, 1)
+        rotc = pd["rot"][..., 1:2].reshape(b, h * w, 1)
+        rot = jnp.arctan2(rots, rotc)
+        reg = pd["reg"].reshape(b, h * w, 2)
+        hei = pd["height"].reshape(b, h * w, 1)
+        vel = pd["vel"].reshape(b, h * w, 2)
+        hm_flat = hm.reshape(b, h * w, c)
+
+        ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                              jnp.arange(w, dtype=jnp.float32), indexing="ij")
+        xs = xs.reshape(1, h * w, 1) + reg[:, :, 0:1]
+        ys = ys.reshape(1, h * w, 1) + reg[:, :, 1:2]
+        xs = xs * osf * voxel_size[0] + pc_range[0]
+        ys = ys * osf * voxel_size[1] + pc_range[1]
+
+        boxes = jnp.concatenate([xs, ys, hei, dim, vel, rot], axis=2)
+        scores = jnp.max(hm_flat, axis=-1)
+        labels = jnp.argmax(hm_flat, axis=-1) + class_offset
+        in_range = (jnp.all(boxes[..., :3] >= post_range[:3], -1)
+                    & jnp.all(boxes[..., :3] <= post_range[3:6], -1))
+        mask = (scores > score_thr) & in_range
+        out.append((boxes, scores, labels.astype(jnp.int32), mask))
+        class_offset += num_classes[t]
+    return out

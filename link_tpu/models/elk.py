@@ -25,18 +25,24 @@ from ..sparse.tensor import SparseTensor
 
 
 class ELKBlock(nn.Module):
+    """`det_grouping=True` reproduces the detection TSELKBlock's channel
+    grouping (detection/det3d/models/utils/ts_elk.py:168): the positional
+    Linear has full width (3, inc) but only its first inc/2 columns are
+    used, tiled twice."""
+
     inc: int
     aux_capacity: int
     groups: int = 1
     baseop: str = "cos_x"
     normalize_coords: bool = False
+    det_grouping: bool = False
 
     @nn.compact
     def __call__(self, st: SparseTensor, s: int, r: int,
                  train: bool = False) -> SparseTensor:
         assert self.baseop in ("cos", "sin", "cos_x")
         assert self.inc % self.groups == 0
-        cg = self.inc // self.groups
+        cg = self.inc if self.det_grouping else self.inc // self.groups
 
         f_input = Linear(self.inc, self.inc, use_bias=False,
                          name="pre_mix")(st.feats)
@@ -48,7 +54,9 @@ class ELKBlock(nn.Module):
             c3 = c3 / st.stride[0]
         pw = Linear(3, cg, use_bias=False, name="pos_weight")(c3)
 
-        if self.baseop == "cos_x":
+        if self.det_grouping:
+            pw = jnp.tile(pw[:, :self.inc // 2], (1, 2))
+        elif self.baseop == "cos_x":
             alpha = self.param("alpha", nn.initializers.ones, (1, cg))
             pw = pw * alpha
         else:

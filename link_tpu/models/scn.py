@@ -1,0 +1,152 @@
+"""Detection sparse backbones: SpMiddleResNetFHD (+ ELKv3 variant).
+
+Reference: detection/det3d/models/backbones/scn.py:155-627. spconv ResNet:
+SubM stem (num_input_features -> 16), 4 stages of 2 SparseBasicBlocks at
+planes [16, 32, 64, 128] with SparseConv3d(k3, s2, p1) downsamples
+([41,1440,1440] -> [21,720,720] -> [11,360,360] -> [5,180,180] with down4
+z-padding 0), an extra z-compress SparseConv3d((3,1,1),(2,1,1)) -> D=2, and
+.dense() -> (B, C*D, H, W) BEV. The ELKv3 variant adds a parallel
+TSELKBlock (cos basis, block_sz 7, r 3) + SubM tail per stage, fused with
+add + ReLU (scn.py:453-627) — mirroring the segmentation topology.
+
+Spatial shapes here are (x, y, z) = (W, H, D); reference input_shape is
+reversed and z gets +1 (scn.py:571: sparse_shape = input_shape[::-1] +
+[1,0,0]).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..nn.modules import SparseBatchNorm, SparseConv3d
+from ..sparse.spconv_engine import spconv3d, to_dense_bev
+from ..sparse.tensor import SparseTensor, make_sparse_tensor
+from .elk import ELKBlock
+
+DET_CAPACITIES = (163840, 81920, 40960, 20480)
+DET_NORM = dict(eps=1e-3, momentum=0.01)
+
+
+class SpConvDown(nn.Module):
+    """SparseConv3d(k, s, p) + BN + ReLU downsample block."""
+
+    inc: int
+    outc: int
+    kernel_size: Tuple[int, int, int]
+    stride: Tuple[int, int, int]
+    padding: Tuple[int, int, int]
+    out_capacity: int
+    bn_axis: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: SparseTensor, in_shape, train: bool = False):
+        import numpy as np
+        from ..nn.modules import _conv_kernel_init
+        kv = int(np.prod(self.kernel_size))
+        std = 1.0 / (self.inc * kv) ** 0.5
+        w = self.param("kernel", _conv_kernel_init(std), (kv, self.inc, self.outc))
+        y, out_shape = spconv3d(x, w, self.kernel_size, in_shape,
+                                stride=self.stride, padding=self.padding,
+                                out_capacity=self.out_capacity)
+        y = SparseBatchNorm(self.outc, axis_name=self.bn_axis,
+                            **DET_NORM)(y, train)
+        return y.replace(feats=jax.nn.relu(y.feats)), out_shape
+
+
+class SparseBasicBlock(nn.Module):
+    """scn.py:62-106: SubM(3, bias) + BN + ReLU + SubM(3, bias) + BN +
+    identity + ReLU."""
+
+    planes: int
+    bn_axis: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: SparseTensor, train: bool = False) -> SparseTensor:
+        y = SparseConv3d(self.planes, self.planes, 3, use_bias=True)(x)
+        y = SparseBatchNorm(self.planes, axis_name=self.bn_axis,
+                            **DET_NORM)(y, train)
+        y = y.replace(feats=jax.nn.relu(y.feats))
+        y = SparseConv3d(self.planes, self.planes, 3, use_bias=True)(y)
+        y = SparseBatchNorm(self.planes, axis_name=self.bn_axis,
+                            **DET_NORM)(y, train)
+        return y.replace(feats=jax.nn.relu(y.feats + x.feats))
+
+
+class SpMiddleResNetFHDELKv3(nn.Module):
+    num_input_features: int = 5
+    elk: bool = True
+    block_sz: int = 7
+    elk_r: int = 3
+    capacities: Tuple[int, ...] = DET_CAPACITIES
+    batch_size: int = 1
+    bn_axis: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, voxel_features: jnp.ndarray, coords: jnp.ndarray,
+                 nnz: jnp.ndarray, input_shape: Tuple[int, int, int],
+                 train: bool = False):
+        """input_shape = (W, H, D) grid extents, e.g. (1440, 1440, 40)."""
+        planes = [16, 32, 64, 128]
+        caps = self.capacities
+        ax = self.bn_axis
+        shape = (input_shape[0], input_shape[1], input_shape[2] + 1)
+
+        st = make_sparse_tensor(voxel_features, coords, nnz=nnz, stride=1)
+        st = SparseConv3d(self.num_input_features, planes[0], 3,
+                          name="conv_input")(st)
+        st = SparseBatchNorm(planes[0], axis_name=ax, name="conv_input_bn",
+                             **DET_NORM)(st, train)
+        st = st.replace(feats=jax.nn.relu(st.feats))
+
+        multi_scale = {}
+        for lvl in range(4):
+            c = planes[lvl]
+            if lvl > 0:
+                zpad = 1 if lvl < 3 else 0
+                st, shape = SpConvDown(planes[lvl - 1], c, (3, 3, 3),
+                                       (2, 2, 2), (1, 1, zpad),
+                                       out_capacity=caps[lvl], bn_axis=ax,
+                                       name=f"down{lvl+1}")(st, shape, train)
+            y = SparseBasicBlock(c, bn_axis=ax, name=f"conv{lvl+1}_0")(st, train)
+            y = SparseBasicBlock(c, bn_axis=ax, name=f"conv{lvl+1}_1")(y, train)
+            if self.elk:
+                y = SparseConv3d(c, c, 3, use_bias=False,
+                                 name=f"conv{lvl+1}_tail")(y)
+                y = SparseBatchNorm(c, axis_name=ax,
+                                    name=f"conv{lvl+1}_tail_bn",
+                                    **DET_NORM)(y, train)
+                lk = ELKBlock(c, aux_capacity=caps[lvl], baseop="cos",
+                              det_grouping=True, name=f"elk{lvl+1}")(
+                                  st, self.block_sz, self.elk_r, train)
+                lk = SparseConv3d(c, c, 3, use_bias=False,
+                                  name=f"elk{lvl+1}_tail")(lk)
+                lk = SparseBatchNorm(c, axis_name=ax,
+                                     name=f"elk{lvl+1}_tail_bn",
+                                     **DET_NORM)(lk, train)
+                st = y.replace(feats=jax.nn.relu(y.feats + lk.feats))
+            else:
+                st = y
+            multi_scale[f"conv{lvl+1}"] = st
+
+        from ..nn.modules import _conv_kernel_init
+        std = 1.0 / (planes[3] * 3) ** 0.5
+        w = self.param("extra_conv_kernel", _conv_kernel_init(std),
+                       (3, planes[3], planes[3]))
+        st, shape = spconv3d(st, w, (1, 1, 3), shape, stride=(1, 1, 2),
+                             padding=(0, 0, 0), out_capacity=caps[3])
+        st = SparseBatchNorm(planes[3], axis_name=ax, name="extra_conv_bn",
+                             **DET_NORM)(st, train)
+        st = st.replace(feats=jax.nn.relu(st.feats))
+
+        bev = to_dense_bev(st, shape, self.batch_size)
+        return bev, multi_scale
+
+
+class SpMiddleResNetFHD(SpMiddleResNetFHDELKv3):
+    """Plain (no-ELK) backbone (scn.py:155-264)."""
+
+    elk: bool = False

@@ -1,0 +1,50 @@
+"""VoxelNet detector: reader -> sparse backbone -> RPN -> CenterHead.
+
+Reference: detection/det3d/models/detectors/voxelnet.py:10-96 (+
+readers/voxel_encoder.py:8-25 VoxelFeatureExtractorV3: per-voxel mean over
+its points).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .center_head import CenterHead
+from .rpn import RPN
+from .scn import DET_CAPACITIES, SpMiddleResNetFHDELKv3
+
+
+def voxel_feature_extractor_v3(voxels: jnp.ndarray,
+                               num_points: jnp.ndarray) -> jnp.ndarray:
+    """voxels (N, max_pts, F), num_points (N,) -> (N, F) mean over real
+    points (readers/voxel_encoder.py:18-25)."""
+    s = jnp.sum(voxels, axis=1)
+    return s / jnp.maximum(num_points, 1).astype(voxels.dtype)[:, None]
+
+
+class VoxelNet(nn.Module):
+    num_input_features: int = 5
+    batch_size: int = 1
+    grid_shape: Tuple[int, int, int] = (1440, 1440, 40)
+    capacities: Tuple[int, ...] = DET_CAPACITIES
+    elk: bool = True
+    tasks: Tuple[Tuple[str, ...], ...] = CenterHead.tasks
+    bn_axis: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, voxels: jnp.ndarray, coords: jnp.ndarray,
+                 num_points: jnp.ndarray, nnz: jnp.ndarray,
+                 train: bool = False) -> List[Dict[str, jnp.ndarray]]:
+        feats = voxel_feature_extractor_v3(voxels, num_points)
+        bev, _ = SpMiddleResNetFHDELKv3(
+            num_input_features=self.num_input_features, elk=self.elk,
+            capacities=self.capacities, batch_size=self.batch_size,
+            bn_axis=self.bn_axis, name="backbone")(
+                feats, coords, nnz, self.grid_shape, train)
+        x = RPN(bn_axis=self.bn_axis, name="neck")(bev, train)
+        return CenterHead(tasks=self.tasks, bn_axis=self.bn_axis,
+                          name="bbox_head")(x, train)

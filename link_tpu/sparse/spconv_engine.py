@@ -1,0 +1,136 @@
+"""spconv-semantics sparse convolution (detection backbone).
+
+The detection reference builds on spconv 2.x (reference:
+detection/det3d/models/backbones/scn.py). spconv differs from torchsparse
+in two ways that matter for coordinate parity:
+
+  * coords are per-level grid indices (b, z, y, x) — NOT multiples of the
+    cumulative stride. We store them in our (x, y, z, b) column order and
+    keep SparseTensor.stride == 1 at every level.
+  * a strided SparseConv3d with padding emits every output cell j whose
+    kernel window touches an input: j in [ceil((i + p - k + 1)/s),
+    floor((i + p)/s)] per axis, clipped to the output spatial shape
+    out_shape = floor((in + 2p - k)/s) + 1.
+
+Kernel taps are enumerated t in [0, k)^3 (x-major, z fastest, matching our
+even-kernel torchsparse order); the input cell feeding output j through tap
+t is i = j*s - p + t.
+"""
+
+from __future__ import annotations
+
+from itertools import product
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import coords as coordlib
+from .conv import apply_conv_plan, build_conv_plan
+from .tensor import ConvPlan, SparseTensor
+
+
+def spconv_out_shape(in_shape, kernel_size, stride, padding):
+    return tuple((in_shape[a] + 2 * padding[a] - kernel_size[a]) // stride[a] + 1
+                 for a in range(3))
+
+
+def _tap_offsets(kernel_size) -> np.ndarray:
+    """(K, 3) tap indices t, x-major with z fastest."""
+    return np.asarray(
+        [[tx, ty, tz] for tx in range(kernel_size[0])
+         for ty in range(kernel_size[1]) for tz in range(kernel_size[2])],
+        np.int32)
+
+
+def spconv_downsample(coords: jnp.ndarray, kernel_size, stride, padding,
+                      out_shape, out_capacity: int):
+    """Enumerate the spconv output coordinate set: all j reachable from any
+    input voxel through any tap, clipped to out_shape. Returns
+    (out_coords, out_nnz)."""
+    taps = _tap_offsets(kernel_size)                      # (K, 3)
+    s = jnp.asarray(stride, jnp.int32)
+    p = jnp.asarray(padding, jnp.int32)
+    xyz = coords[:, :3]
+    # j*s = i + p - t  ->  valid iff divisible by s and in range.
+    num = xyz[None, :, :] + p[None, None, :] - jnp.asarray(taps)[:, None, :]
+    divisible = (num % s[None, None, :]) == 0
+    j = num // s[None, None, :]
+    in_range = (j >= 0) & (j < jnp.asarray(out_shape, jnp.int32)[None, None, :])
+    pad_row = (xyz[:, 0] <= coordlib.INVALID_COORD)[None, :, None]
+    ok = jnp.all(divisible & in_range, axis=-1, keepdims=True) & ~pad_row
+    j = jnp.where(ok, j, jnp.int32(coordlib.INVALID_COORD))
+    b = jnp.broadcast_to(coords[None, :, 3:], j.shape[:2] + (1,))
+    cand = jnp.concatenate([j, jnp.where(ok, b, jnp.int32(coordlib.INVALID_COORD))],
+                           axis=-1).reshape(-1, 4)
+    out_coords, _, out_nnz = coordlib.unique_coords(cand, out_capacity)
+    return out_coords, out_nnz
+
+
+def build_spconv_plan(in_coords: jnp.ndarray, out_coords: jnp.ndarray,
+                      out_nnz, kernel_size, stride, padding,
+                      in_capacity: int) -> ConvPlan:
+    """Kernel map: input for output j, tap t is i = j*s - p + t."""
+    taps = _tap_offsets(kernel_size)
+    s = np.asarray(stride, np.int32)
+    p = np.asarray(padding, np.int32)
+    table = coordlib.build_table(in_coords)
+    base = out_coords[None, :, :3] * jnp.asarray(s)[None, None, :]
+    q = base + jnp.asarray(taps - p[None, :])[:, None, :]
+    qb = jnp.broadcast_to(out_coords[None, :, 3:],
+                          (taps.shape[0],) + out_coords[:, 3:].shape)
+    in_idx = table.query(jnp.concatenate([q, qb], axis=-1))
+    return ConvPlan(in_idx=in_idx, out_coords=out_coords, out_nnz=out_nnz,
+                    in_capacity=in_capacity, out_capacity=out_coords.shape[0])
+
+
+def spconv3d(x: SparseTensor, weight: jnp.ndarray,
+             kernel_size: Union[int, Tuple[int, ...]],
+             in_shape: Tuple[int, int, int],
+             stride: Union[int, Tuple[int, ...]] = 1,
+             padding: Union[int, Tuple[int, ...]] = 0,
+             bias: Optional[jnp.ndarray] = None,
+             out_capacity: Optional[int] = None):
+    """Strided spconv conv. `in_shape` / returned out_shape are (x, y, z)
+    spatial extents of the level's grid. Weight layout (K, Ci, Co) with taps
+    in _tap_offsets order. Returns (SparseTensor, out_shape)."""
+    ks = coordlib.make_ntuple(kernel_size)
+    st = coordlib.make_ntuple(stride)
+    pd = coordlib.make_ntuple(padding)
+    out_shape = spconv_out_shape(in_shape, ks, st, pd)
+    cap = out_capacity or x.capacity
+    key = ("spconv", in_shape, ks, st, pd)
+    plan = x.kmaps.get(key)
+    if plan is None:
+        out_coords, out_nnz = spconv_downsample(x.coords, ks, st, pd,
+                                                out_shape, cap)
+        plan = build_spconv_plan(x.coords, out_coords, out_nnz, ks, st, pd,
+                                 in_capacity=x.capacity)
+        x.kmaps[key] = plan
+    feats = apply_conv_plan(x.feats, weight, plan)
+    if bias is not None:
+        feats = feats + bias
+    out = SparseTensor(feats=feats, coords=plan.out_coords, nnz=plan.out_nnz,
+                       stride=(1, 1, 1), cmaps=x.cmaps, kmaps=x.kmaps)
+    return out, out_shape
+
+
+def to_dense_bev(x: SparseTensor, spatial_shape: Tuple[int, int, int],
+                 batch_size: int) -> jnp.ndarray:
+    """SparseConvTensor.dense() + reshape (scn.py:612-617): scatter voxels
+    into (B, C*D, H, W) with D = z extent, H = y, W = x."""
+    W, H, D = spatial_shape
+    c = x.num_channels
+    xx, yy, zz, bb = (x.coords[:, 0], x.coords[:, 1], x.coords[:, 2],
+                      x.coords[:, 3])
+    valid = (xx >= 0) & (xx < W) & (yy >= 0) & (yy < H) & (zz >= 0) & (zz < D) \
+        & (bb >= 0) & (bb < batch_size)
+    flat = ((bb * D + zz) * H + yy) * W + xx
+    flat = jnp.where(valid, flat, batch_size * D * H * W)
+    dense = jnp.zeros((batch_size * D * H * W + 1, c), x.feats.dtype)
+    dense = dense.at[flat].set(jnp.where(valid[:, None], x.feats, 0.0))
+    dense = dense[:-1].reshape(batch_size, D, H, W, c)
+    # torch .dense() yields (B, C, D, H, W); view(B, C*D, H, W) keeps C outer.
+    dense = jnp.transpose(dense, (0, 4, 1, 2, 3))      # (B, C, D, H, W)
+    return dense.reshape(batch_size, c * D, H, W)

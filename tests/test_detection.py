@@ -1,0 +1,238 @@
+"""Detection stack tests: spconv engine, pipeline, head losses, NMS."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from link_tpu.sparse import coords as coordlib
+from link_tpu.sparse import spconv_engine as spe
+from link_tpu.sparse.tensor import make_sparse_tensor
+from link_tpu.data import det_pipeline as dp
+from link_tpu.ops import box_np, nms
+from link_tpu.models import center_head as ch
+
+import oracles
+from test_sparse_core import pad_coords, pad_feats, assert_rows_match
+
+
+def spconv_oracle(in_coords, in_feats, weight, ks, stride, padding, out_shape):
+    """Brute-force spconv conv: out[j] = sum_t in[j*s - p + t] @ W[t]."""
+    taps = [(tx, ty, tz) for tx in range(ks[0]) for ty in range(ks[1])
+            for tz in range(ks[2])]
+    lut = {tuple(c): i for i, c in enumerate(in_coords)}
+    outs = {}
+    for c in in_coords:
+        for t in taps:
+            j = []
+            ok = True
+            for a in range(3):
+                num = c[a] + padding[a] - t[a]
+                if num % stride[a] != 0:
+                    ok = False
+                    break
+                v = num // stride[a]
+                if v < 0 or v >= out_shape[a]:
+                    ok = False
+                    break
+                j.append(v)
+            if ok:
+                outs[(j[0], j[1], j[2], c[3])] = None
+    out_coords = sorted(outs)
+    res = np.zeros((len(out_coords), weight.shape[-1]))
+    for oi, j in enumerate(out_coords):
+        for ti, t in enumerate(taps):
+            key = (j[0] * stride[0] - padding[0] + t[0],
+                   j[1] * stride[1] - padding[1] + t[1],
+                   j[2] * stride[2] - padding[2] + t[2], j[3])
+            i = lut.get(key, -1)
+            if i >= 0:
+                res[oi] += in_feats[i] @ weight[ti]
+    return np.asarray(out_coords, np.int32), res
+
+
+class TestSpconvEngine:
+    @pytest.mark.parametrize("ks,stride,pad", [
+        ((3, 3, 3), (2, 2, 2), (1, 1, 1)),
+        ((3, 3, 3), (2, 2, 2), (1, 1, 0)),
+        ((1, 1, 3), (1, 1, 2), (0, 0, 0)),
+    ])
+    def test_strided_matches_oracle(self, ks, stride, pad):
+        rng = np.random.default_rng(41)
+        coords, feats = oracles.random_cloud(rng, 200, span=(20, 20, 9),
+                                             batch=2, channels=6)
+        in_shape = (20, 20, 9)
+        w = rng.standard_normal(
+            (int(np.prod(ks)), 6, 5)).astype(np.float32) * 0.2
+        cap = 1024
+        st = make_sparse_tensor(pad_feats(feats, cap), pad_coords(coords, cap),
+                                nnz=len(coords))
+        out, out_shape = spe.spconv3d(st, jnp.asarray(w), ks, in_shape,
+                                      stride=stride, padding=pad,
+                                      out_capacity=cap)
+        want_c, want = spconv_oracle(coords, feats, w, ks, stride, pad,
+                                     spe.spconv_out_shape(in_shape, ks,
+                                                          stride, pad))
+        n = int(out.nnz)
+        assert n == len(want_c)
+        assert_rows_match(np.asarray(out.coords)[:n], np.asarray(out.feats)[:n],
+                          want_c, want)
+
+    def test_dense_bev_layout(self):
+        coords = np.array([[1, 2, 0, 0], [0, 0, 1, 1]], np.int32)
+        feats = np.array([[1.0, 2.0], [3.0, 4.0]], np.float32)
+        st = make_sparse_tensor(pad_feats(feats, 8), pad_coords(coords, 8),
+                                nnz=2)
+        bev = spe.to_dense_bev(st, (4, 3, 2), batch_size=2)  # W,H,D
+        assert bev.shape == (2, 2 * 2, 3, 4)  # (B, C*D, H, W)
+        # voxel (x=1, y=2, z=0, b=0), channel 0 -> bev[0, 0*2+0, 2, 1]
+        assert float(bev[0, 0, 2, 1]) == 1.0
+        assert float(bev[0, 2, 2, 1]) == 2.0   # channel 1, z=0 -> idx 1*D+0
+        assert float(bev[1, 1, 0, 0]) == 3.0   # b=1 z=1 c=0 -> 0*D+1
+
+
+class TestPipeline:
+    def test_voxelization_matches_reference_semantics(self):
+        rng = np.random.default_rng(42)
+        pts = rng.uniform(-5, 5, (5000, 5)).astype(np.float32)
+        vs, pr = (0.5, 0.5, 0.5), (-4, -4, -4, 4, 4, 4)
+        voxels, coors, nppv = dp.points_to_voxel(pts, vs, pr, max_points=4,
+                                                 max_voxels=1000)
+        # brute force first-appearance order
+        grid = np.array([16, 16, 16])
+        seen = {}
+        order = []
+        per = {}
+        for p in pts:
+            c = np.floor((p[:3] - np.array(pr[:3])) / np.array(vs)).astype(int)
+            if (c < 0).any() or (c >= grid).any():
+                continue
+            key = tuple(c)
+            if key not in seen:
+                if len(order) >= 1000:
+                    continue
+                seen[key] = len(order)
+                order.append(key)
+                per[key] = []
+            if len(per[key]) < 4:
+                per[key].append(p)
+        assert len(coors) == len(order)
+        for i, key in enumerate(order):
+            np.testing.assert_array_equal(coors[i], np.array(key)[::-1])
+            assert nppv[i] == len(per[key])
+            np.testing.assert_allclose(voxels[i, :nppv[i]],
+                                       np.stack(per[key]), atol=0)
+
+    def test_assign_label_basic(self):
+        boxes = np.array([[0.0, 0.0, -1.0, 2.0, 4.0, 1.5, 0.5, 0.0, 0.3]])
+        classes = np.array([1])  # car
+        ex = dp.assign_label(boxes, classes)
+        assert len(ex["hm"]) == 6
+        hm0 = ex["hm"][0]
+        assert hm0.shape == (180, 180, 1)
+        # center in grid: (0 - (-54)) / 0.075 / 8 = 90
+        assert hm0[90, 90, 0] == 1.0
+        assert ex["mask"][0][0] == 1
+        assert ex["ind"][0][0] == 90 * 180 + 90
+        np.testing.assert_allclose(ex["anno_box"][0][0][2], -1.0)
+        np.testing.assert_allclose(ex["anno_box"][0][0][8:],
+                                   [np.sin(0.3), np.cos(0.3)], atol=1e-6)
+        # other tasks empty
+        assert ex["mask"][1].sum() == 0
+
+    def test_gaussian_radius_positive(self):
+        r = dp.gaussian_radius((10, 5), 0.1)
+        assert r > 0
+
+
+class TestBoxesNMS:
+    def test_iou_axis_aligned(self):
+        a = np.array([[0, 0, 2, 2, 0.0]])
+        b = np.array([[1, 0, 2, 2, 0.0]])
+        iou = box_np.boxes_bev_iou(a, b)
+        np.testing.assert_allclose(iou[0, 0], 1 / 3, atol=1e-5)
+
+    def test_iou_rotated(self):
+        a = np.array([[0, 0, 2, 2, 0.0]])
+        b = np.array([[0, 0, 2, 2, np.pi / 4]])
+        # square vs 45deg square: intersection is a regular octagon
+        iou = box_np.boxes_bev_iou(a, b)
+        inter = 8 * (np.sqrt(2) - 1)
+        np.testing.assert_allclose(iou[0, 0], inter / (8 - inter), atol=1e-4)
+
+    def test_rotate_nms(self):
+        boxes = np.array([
+            [0, 0, 0, 2, 4, 1.5, 0.0],
+            [0.1, 0, 0, 2, 4, 1.5, 0.0],   # overlaps first
+            [10, 10, 0, 2, 4, 1.5, 0.5],
+        ])
+        scores = np.array([0.9, 0.8, 0.7])
+        keep = nms.rotate_nms_pcdet(boxes, scores, thresh=0.2)
+        assert list(keep) == [0, 2]
+
+    def test_circle_nms_jax_matches_numpy(self):
+        rng = np.random.default_rng(43)
+        xy = rng.uniform(0, 20, (40, 2)).astype(np.float32)
+        scores = rng.random(40).astype(np.float32)
+        valid = np.ones(40, bool)
+        keep_mask = np.asarray(nms.circle_nms_jax(
+            jnp.asarray(xy), jnp.asarray(scores), jnp.asarray(valid),
+            min_radius=4.0, max_keep=40))
+        order = np.argsort(-scores)
+        boxes = np.concatenate([xy[order], scores[order, None]], 1)
+        keep_ref = nms.circle_nms(boxes, thresh=4.0, post_max_size=40)
+        ref_mask = np.zeros(40, bool)
+        ref_mask[order[keep_ref]] = True
+        np.testing.assert_array_equal(keep_mask, ref_mask)
+
+
+class TestHeadLoss:
+    def test_fast_focal_perfect(self):
+        hm = np.full((1, 8, 8, 2), 1e-4, np.float32)
+        hm[0, 3, 4, 1] = 1 - 1e-4
+        target = np.zeros((1, 8, 8, 2), np.float32)
+        target[0, 3, 4, 1] = 1.0
+        ind = np.zeros((1, 5), np.int64)
+        ind[0, 0] = 3 * 8 + 4
+        mask = np.zeros((1, 5), np.uint8)
+        mask[0, 0] = 1
+        cat = np.zeros((1, 5), np.int64)
+        cat[0, 0] = 1
+        loss = float(ch.fast_focal_loss(jnp.asarray(hm), jnp.asarray(target),
+                                        jnp.asarray(ind), jnp.asarray(mask),
+                                        jnp.asarray(cat)))
+        assert loss < 0.01
+
+    def test_reg_loss_masked(self):
+        out = np.zeros((1, 4, 4, 3), np.float32)
+        out[0, 1, 2] = [1.0, 2.0, 3.0]
+        ind = np.array([[1 * 4 + 2, 0]])
+        mask = np.array([[1, 0]], np.uint8)
+        target = np.zeros((1, 2, 3), np.float32)
+        target[0, 0] = [0.5, 2.0, 4.0]
+        loss = np.asarray(ch.reg_loss(jnp.asarray(out), jnp.asarray(mask),
+                                      jnp.asarray(ind), jnp.asarray(target)))
+        np.testing.assert_allclose(loss, [0.5, 0.0, 1.0], atol=1e-4)
+
+    def test_decode_shapes(self):
+        preds = []
+        for t, ncls in enumerate([1, 2, 2, 1, 2, 2]):
+            preds.append({
+                "hm": jnp.zeros((1, 8, 8, ncls)),
+                "reg": jnp.zeros((1, 8, 8, 2)),
+                "height": jnp.zeros((1, 8, 8, 1)),
+                "dim": jnp.zeros((1, 8, 8, 3)),
+                "rot": jnp.zeros((1, 8, 8, 2)),
+                "vel": jnp.zeros((1, 8, 8, 2)),
+            })
+        cfg = dict(pc_range=[-54, -54], voxel_size=[0.075, 0.075],
+                   out_size_factor=8,
+                   post_center_limit_range=[-61.2, -61.2, -10, 61.2, 61.2, 10],
+                   score_threshold=0.1)
+        out = ch.decode_boxes(preds, cfg, [1, 2, 2, 1, 2, 2])
+        assert len(out) == 6
+        boxes, scores, labels, mask = out[0]
+        assert boxes.shape == (1, 64, 9)
+        assert int(labels.max()) == 0
+        _, _, labels5, _ = out[5]
+        assert int(labels5.min()) == 8  # pedestrian offset
