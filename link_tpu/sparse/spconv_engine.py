@@ -111,8 +111,11 @@ def spconv3d(x: SparseTensor, weight: jnp.ndarray,
     feats = apply_conv_plan(x.feats, weight, plan)
     if bias is not None:
         feats = feats + bias
+    # Fresh caches: every spconv level is a new lattice at stride 1, so
+    # submanifold kmap keys would collide across levels if shared.
     out = SparseTensor(feats=feats, coords=plan.out_coords, nnz=plan.out_nnz,
-                       stride=(1, 1, 1), cmaps=x.cmaps, kmaps=x.kmaps)
+                       stride=(1, 1, 1), cmaps={}, kmaps={})
+    out.cmaps[out.stride] = (out.coords, out.nnz)
     return out, out_shape
 
 
