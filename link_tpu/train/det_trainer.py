@@ -1,0 +1,115 @@
+"""Detection training runtime: one-cycle Adam + grad clip + DP step.
+
+Replaces torchie's Trainer + OptimizerHook + fastai OptimWrapper/OneCycle
+(reference: detection/det3d/torchie/trainer/trainer.py:138-610,
+hooks/optimizer.py:7-22 (clip 35), solver/fastai_optim.py:121,
+learning_schedules_fastai.py:77-97, apis/train.py:156-337).
+
+The fastai wrapper's "true weight decay" (decoupled, applied to weights
+only, not BN/bias layer groups) maps to optax.add_decayed_weights with a
+mask; the per-iteration OneCycle lr/momentum schedule maps to
+inject_hyperparams(scale_by_adam)(b1=mom_fn(step)).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.center_head import center_head_loss
+from .trainer import DATA_AXIS, TrainState, _data_sharded, _replicated
+
+
+def _decay_mask(params):
+    """True weight decay applies to weights only — torchie's OptimWrapper
+    puts BN and bias params in no-wd layer groups (fastai_optim.py:121).
+    Heuristic: decay only rank>=2 arrays named 'kernel'."""
+    def mask_fn(path, leaf):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        return name == "kernel" and getattr(leaf, "ndim", 0) >= 2
+    return jax.tree_util.tree_map_with_path(mask_fn, params)
+
+
+def make_one_cycle_adam(lr_fn: Callable, mom_fn: Callable,
+                        weight_decay: float = 0.01,
+                        grad_clip: float = 35.0):
+    """Adam whose lr AND beta1 follow the OneCycle schedules, with
+    decoupled wd and global-norm clip 35 (optimizer_config in
+    configs/...elkv3.py:207)."""
+
+    def tx_for_step(step):
+        return optax.chain(
+            optax.clip_by_global_norm(grad_clip),
+            optax.scale_by_adam(b1=mom_fn(step), b2=0.99),
+            optax.add_decayed_weights(weight_decay, mask=_decay_mask),
+            optax.scale_by_learning_rate(lr_fn(step)),
+        )
+
+    # Build a transformation whose update re-derives hyperparams per step.
+    def init(params):
+        return tx_for_step(0).init(params)
+
+    def update(grads, state, params, step):
+        return tx_for_step(step).update(grads, state, params)
+
+    return init, update
+
+
+def make_det_train_step(model, lr_fn, mom_fn, mesh,
+                        weight_decay: float = 0.01, grad_clip: float = 35.0,
+                        code_weights=(1.0,) * 6 + (0.2, 0.2, 1.0, 1.0),
+                        weight: float = 0.25):
+    init_fn, update_fn = make_one_cycle_adam(lr_fn, mom_fn, weight_decay,
+                                             grad_clip)
+
+    def per_replica_loss(params, batch_stats, b):
+        preds, mut = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            b["voxels"], b["coords"], b["num_points"], b["nnz"], True,
+            mutable=["batch_stats"])
+        example = {k: b[k] for k in ("hm", "anno_box", "ind", "mask", "cat")}
+        loss, logs = center_head_loss(preds, example, weight, code_weights)
+        return loss, (mut["batch_stats"], logs)
+
+    def step(state: TrainState, gbatch: Dict):
+        def loss_fn(params):
+            losses, (bs, logs) = jax.vmap(
+                per_replica_loss, in_axes=(None, None, 0))(
+                    params, state.batch_stats, gbatch)
+            mean0 = lambda t: jax.tree_util.tree_map(
+                lambda x: jnp.mean(x, axis=0), t)
+            return jnp.mean(losses), (mean0(bs), mean0(logs))
+
+        (loss, (new_bs, logs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = update_fn(grads, state.opt_state, state.params,
+                                     state.step)
+        new_params = optax.apply_updates(state.params, updates)
+        return (TrainState(step=state.step + 1, params=new_params,
+                           batch_stats=new_bs, opt_state=new_opt),
+                {"loss": loss, **logs})
+
+    if mesh is None:
+        return init_fn, jax.jit(step)
+    return init_fn, jax.jit(
+        step, in_shardings=(_replicated(mesh), _data_sharded(mesh)),
+        out_shardings=(_replicated(mesh), _replicated(mesh)),
+        donate_argnums=0)
+
+
+def make_det_predict_step(model, test_cfg: Dict, num_classes, mesh=None):
+    """Forward + decode (NMS stays host-side, ops/nms.py), mirroring
+    CenterHead.predict's device/host split."""
+    from ..models.center_head import decode_boxes
+
+    def step(state: TrainState, batch: Dict):
+        preds = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["voxels"], batch["coords"], batch["num_points"],
+            batch["nnz"], False)
+        return decode_boxes(preds, test_cfg, num_classes)
+
+    return jax.jit(step)
