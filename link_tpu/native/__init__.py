@@ -1,0 +1,93 @@
+"""Native (C++) host-side kernels, built on demand with g++ via ctypes.
+
+Build: `make -C link_tpu/native` or automatic on first import (falls back
+to the NumPy implementations in ops/box_np.py + ops/nms.py when no
+compiler is available).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def _build_and_load() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    here = os.path.dirname(os.path.abspath(__file__))
+    so = os.path.join(here, "libnms.so")
+    src = os.path.join(here, "nms.cpp")
+    try:
+        if (not os.path.exists(so)
+                or os.path.getmtime(so) < os.path.getmtime(src)):
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src,
+                 "-o", so],
+                check=True, capture_output=True)
+        lib = ctypes.CDLL(so)
+        lib.rotate_nms.restype = ctypes.c_int64
+        lib.rotate_nms.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_float,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int64)]
+        lib.bev_iou_matrix.restype = None
+        lib.bev_iou_matrix.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float)]
+        lib.iou3d_matrix.restype = None
+        lib.iou3d_matrix.argtypes = lib.bev_iou_matrix.argtypes
+        _LIB = lib
+    except Exception:
+        _LIB = None
+    return _LIB
+
+
+def available() -> bool:
+    return _build_and_load() is not None
+
+
+def _fptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def rotate_nms_sorted(boxes: np.ndarray, thresh: float,
+                      post_max: int = 0) -> np.ndarray:
+    """boxes (N, 7) float32, already sorted by score desc. Returns kept
+    indices."""
+    lib = _build_and_load()
+    assert lib is not None
+    boxes = np.ascontiguousarray(boxes, np.float32)
+    keep = np.empty(len(boxes), np.int64)
+    n = lib.rotate_nms(_fptr(boxes), len(boxes), ctypes.c_float(thresh),
+                       post_max or 0,
+                       keep.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return keep[:n]
+
+
+def bev_iou(boxes_a: np.ndarray, boxes_b: np.ndarray) -> np.ndarray:
+    lib = _build_and_load()
+    assert lib is not None
+    a = np.ascontiguousarray(boxes_a, np.float32)
+    b = np.ascontiguousarray(boxes_b, np.float32)
+    out = np.empty((len(a), len(b)), np.float32)
+    lib.bev_iou_matrix(_fptr(a), len(a), _fptr(b), len(b), _fptr(out))
+    return out
+
+
+def iou3d(boxes_a: np.ndarray, boxes_b: np.ndarray) -> np.ndarray:
+    lib = _build_and_load()
+    assert lib is not None
+    a = np.ascontiguousarray(boxes_a, np.float32)
+    b = np.ascontiguousarray(boxes_b, np.float32)
+    out = np.empty((len(a), len(b)), np.float32)
+    lib.iou3d_matrix(_fptr(a), len(a), _fptr(b), len(b), _fptr(out))
+    return out

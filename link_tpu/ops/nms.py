@@ -21,10 +21,18 @@ def rotate_nms_pcdet(boxes: np.ndarray, scores: np.ndarray,
                      post_max_size: int = None) -> np.ndarray:
     """boxes (N, 7) [x y z w l h r] (pcdet convention — rotate_nms_pcdet
     transforms then calls nms_gpu; overlap is BEV rotated IoU). Returns kept
-    indices into the input order."""
+    indices into the input order. Uses the native C++ kernel when built
+    (link_tpu/native/nms.cpp), NumPy otherwise."""
     order = np.argsort(-scores, kind="stable")
     if pre_maxsize is not None:
         order = order[:pre_maxsize]
+
+    from .. import native
+    if native.available() and len(order):
+        kept = native.rotate_nms_sorted(boxes[order], float(thresh),
+                                        post_max_size or 0)
+        return order[kept]
+
     b = boxes[order]
     n = len(b)
     if n == 0:

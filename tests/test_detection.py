@@ -236,3 +236,34 @@ class TestHeadLoss:
         assert int(labels.max()) == 0
         _, _, labels5, _ = out[5]
         assert int(labels5.min()) == 8  # pedestrian offset
+
+
+class TestNative:
+    def test_native_matches_numpy(self):
+        from link_tpu import native
+        if not native.available():
+            import pytest
+            pytest.skip("no g++ available")
+        rng = np.random.default_rng(60)
+        n = 60
+        boxes = np.zeros((n, 7), np.float32)
+        boxes[:, :2] = rng.uniform(-20, 20, (n, 2))
+        boxes[:, 2] = rng.uniform(-1, 1, n)
+        boxes[:, 3:6] = rng.uniform(0.5, 4, (n, 3))
+        boxes[:, 6] = rng.uniform(-np.pi, np.pi, n)
+        bev5 = boxes[:, [0, 1, 3, 4, 6]]
+        iou_np = box_np.boxes_bev_iou(bev5, bev5)
+        iou_cc = native.bev_iou(boxes, boxes)
+        np.testing.assert_allclose(iou_cc, iou_np, atol=2e-4)
+
+        scores = rng.random(n).astype(np.float32)
+        keep_native = nms.rotate_nms_pcdet(boxes, scores, 0.2)
+        # force numpy path
+        import link_tpu.native as nat
+        saved = nat._LIB, nat._TRIED
+        nat._LIB, nat._TRIED = None, True
+        try:
+            keep_np = nms.rotate_nms_pcdet(boxes, scores, 0.2)
+        finally:
+            nat._LIB, nat._TRIED = saved
+        np.testing.assert_array_equal(np.sort(keep_native), np.sort(keep_np))

@@ -1,0 +1,163 @@
+#!/usr/bin/env python
+"""Segmentation training entry point.
+
+TPU-native replacement for segmentation/train.py:31-184: config cascade,
+data-parallel mesh over all devices, per-epoch training with per-iteration
+cosine-warmup LR, val mIoU each epoch, rotating + best checkpoints.
+
+Usage:
+  python tools/seg_train.py configs/semantic_kitti/linkunet/default.yaml \
+      [--run-dir runs/...] [--synthetic] [key=value ...]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("config")
+    ap.add_argument("--run-dir", default=None)
+    ap.add_argument("--synthetic", action="store_true",
+                    help="use the synthetic dataset (no real data needed)")
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("overrides", nargs="*")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+    from link_tpu.utils.config import load_config
+    from link_tpu.models import builder
+    from link_tpu.data.semantic_kitti import (SemanticKITTI,
+                                              SyntheticSemanticKITTI)
+    from link_tpu.data.collate import collate_scans
+    from link_tpu.data.loader import PrefetchLoader, epoch_indices, shard_indices
+    from link_tpu.sparse.tensor import make_sparse_tensor
+    from link_tpu.train import trainer as T
+    from link_tpu.train.checkpoint import save_checkpoint
+    from link_tpu.train.metrics import MeanIoU
+
+    cfg = load_config(args.config, args.overrides)
+    if args.epochs:
+        cfg.num_epochs = args.epochs
+
+    devices = jax.devices()
+    ndev = len(devices)
+    mesh = T.make_data_mesh(devices)
+    world_batch = cfg.batch_size * ndev
+    print(f"devices={ndev} world_batch={world_batch}")
+
+    if args.synthetic or not os.path.isdir(cfg.dataset.root):
+        print("using synthetic dataset")
+        train_ds = SyntheticSemanticKITTI(
+            length=cfg.dataset.get("synthetic_length", 64),
+            voxel_size=cfg.dataset.voxel_size,
+            num_points=cfg.dataset.num_points, split="train")
+        val_ds = SyntheticSemanticKITTI(
+            length=8, voxel_size=cfg.dataset.voxel_size,
+            num_points=cfg.dataset.num_points, split="train")
+        cfg.data.training_size = len(train_ds)
+    else:
+        train_ds = SemanticKITTI(cfg.dataset.root, "train",
+                                 cfg.dataset.voxel_size,
+                                 cfg.dataset.num_points)
+        val_ds = SemanticKITTI(cfg.dataset.root, "val",
+                               cfg.dataset.voxel_size,
+                               cfg.dataset.num_points)
+
+    caps = tuple(cfg.model.get("capacities"))
+    cap0 = caps[0] * cfg.batch_size
+    caps = tuple(c * cfg.batch_size for c in caps)
+    model = builder.make_model(cfg, capacities=caps)
+
+    lr = builder.make_lr_schedule(cfg, world_size=ndev)
+    tx = builder.make_optimizer(cfg, lr)
+
+    # init from one device-batch
+    def make_dev_batch(ds, idxs, rng=None):
+        scans = [ds[int(i)] if rng is None else ds.__getitem__(int(i), rng)
+                 for i in idxs]
+        return collate_scans(scans, cap0,
+                             ignore_label=cfg.data.ignore_label)
+
+    b0 = make_dev_batch(train_ds, range(cfg.batch_size))
+    st = make_sparse_tensor(b0["feats"], b0["coords"], nnz=b0["nnz"])
+    variables = model.init(jax.random.PRNGKey(cfg.train.seed), st, False)
+    state = T.TrainState(step=jnp.int32(0), params=variables["params"],
+                         batch_stats=variables["batch_stats"],
+                         opt_state=tx.init(variables["params"]))
+    nparams = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
+    print(f"params: {nparams/1e6:.2f}M")
+
+    train_step = T.make_dp_train_step(
+        model, tx, mesh, ignore_label=cfg.criterion.ignore_index)
+    eval_step = T.make_dp_eval_step(model, mesh, cfg.data.num_classes,
+                                    cfg.data.ignore_label)
+    shard = jax.sharding.NamedSharding(mesh,
+                                       jax.sharding.PartitionSpec(T.DATA_AXIS))
+
+    run_dir = args.run_dir or os.path.join(
+        "runs", os.path.splitext(os.path.basename(args.config))[0]
+        + time.strftime("-%m%d%H%M"))
+    os.makedirs(run_dir, exist_ok=True)
+
+    seed = cfg.train.seed
+    steps_per_epoch = max(1, len(train_ds) // world_batch)
+    for epoch in range(1, cfg.num_epochs + 1):
+        idx = epoch_indices(len(train_ds), epoch, seed)
+        shards = shard_indices(idx[:steps_per_epoch * world_batch], ndev)
+
+        def make_batch(step, shards=shards, epoch=epoch):
+            per_dev = []
+            for d in range(ndev):
+                rng = np.random.default_rng(seed * 1000 + epoch * 100 + step * ndev + d)
+                sl = shards[d][step * cfg.batch_size:(step + 1) * cfg.batch_size]
+                per_dev.append(make_dev_batch(train_ds, sl, rng))
+            gb = T.stack_device_batches(per_dev)
+            return jax.device_put(gb, shard)
+
+        t_ep = time.time()
+        losses = []
+        for gb in PrefetchLoader(make_batch, steps_per_epoch):
+            state, metrics = train_step(state, gb)
+            losses.append(metrics["loss"])
+        loss = float(np.mean([np.asarray(l) for l in losses]))
+        dt = time.time() - t_ep
+        print(f"epoch {epoch}: loss={loss:.4f} "
+              f"({steps_per_epoch * world_batch / dt:.2f} scans/s)",
+              flush=True)
+
+        # validation (voxel-level mIoU)
+        miou_metric = MeanIoU(cfg.data.num_classes, cfg.data.ignore_label)
+        n_val_steps = max(1, len(val_ds) // world_batch)
+        for step in range(n_val_steps):
+            per_dev = []
+            for d in range(ndev):
+                base = (step * ndev + d) * cfg.batch_size
+                sl = [(base + k) % len(val_ds) for k in range(cfg.batch_size)]
+                per_dev.append(make_dev_batch(val_ds, sl))
+            gb = jax.device_put(T.stack_device_batches(per_dev), shard)
+            _, counters = eval_step(state, gb)
+            miou_metric.update(np.asarray(counters))
+        miou = miou_metric.compute()
+        print(f"epoch {epoch}: val mIoU (voxel) = {miou*100:.2f}", flush=True)
+
+        save_checkpoint(run_dir, state, epoch, metric=miou,
+                        meta={"config": args.config})
+
+
+if __name__ == "__main__":
+    main()
