@@ -1,0 +1,170 @@
+#!/usr/bin/env python
+"""Detection eval: forward + decode + rotated NMS + NDS/mAP (+ latency).
+
+Reference: detection/tools/dist_test.py:73-218 — no-grad loop, middle-third
+latency probe (--speed-test), detection gathering and nuScenes evaluation.
+Supports TTA input rotation (--tt-rotation, degrees) whose predictions are
+rotated back before fusion (center_head.py:490-504).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"))
+
+TEST_CFG = dict(
+    post_center_limit_range=[-61.2, -61.2, -10.0, 61.2, 61.2, 10.0],
+    max_per_img=500,
+    nms_pre_max_size=1000,
+    nms_post_max_size=83,
+    nms_iou_threshold=0.2,
+    score_threshold=0.1,
+    pc_range=[-54, -54],
+    voxel_size=[0.075, 0.075],
+    out_size_factor=8,
+)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--info-path", default="data/nuScenes/infos_val_10sweeps_withvelo_filter_True.pkl")
+    ap.add_argument("--root-path", default="data/nuScenes")
+    ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--speed-test", action="store_true")
+    ap.add_argument("--limit", type=int, default=0)
+    ap.add_argument("--tt-rotation", type=float, default=0.0)
+    ap.add_argument("--out", default=None, help="write predictions json")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+    from link_tpu.data import det_pipeline as dp
+    from link_tpu.data.nuscenes import NuScenesDataset, SyntheticNuScenes
+    from link_tpu.models.voxelnet import VoxelNet
+    from link_tpu.models.center_head import decode_boxes
+    from link_tpu.ops.nms import rotate_nms_pcdet
+    from link_tpu.ops import box_np
+    from link_tpu.train import trainer as T
+    from link_tpu.train.checkpoint import load_checkpoint
+    from link_tpu.eval import nuscenes_eval as NE
+
+    if args.synthetic or not os.path.exists(args.info_path):
+        ds = SyntheticNuScenes(length=8, mode="train", max_voxels=160000)
+        grid = (1440, 1440, 40)
+    else:
+        ds = NuScenesDataset(args.info_path, args.root_path, mode="val",
+                             max_voxels=(120000, 160000))
+        grid = (1440, 1440, 40)
+
+    cap = 163840
+    model = VoxelNet(num_input_features=5, batch_size=1, grid_shape=grid,
+                     capacities=(cap, cap // 2, cap // 4, cap // 8))
+    num_classes = [len(t) for t in model.tasks]
+
+    s0 = ds[0]
+    b0 = dp.collate_det([s0], cap)
+
+    @jax.jit
+    def forward(params, bstats, voxels, coords, npts, nnz):
+        preds = model.apply({"params": params, "batch_stats": bstats},
+                            voxels, coords, npts, nnz, False)
+        return decode_boxes(preds, TEST_CFG, num_classes)
+
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(b0["voxels"]),
+                           jnp.asarray(b0["coords"]),
+                           jnp.asarray(b0["num_points"]),
+                           jnp.asarray(b0["nnz"]), False)
+    params, bstats = variables["params"], variables["batch_stats"]
+    if args.checkpoint:
+        import optax
+        template = T.TrainState(step=jnp.int32(0), params=params,
+                                batch_stats=bstats,
+                                opt_state=optax.sgd(0.1).init(params))
+        st = load_checkpoint(args.checkpoint, template)
+        params, bstats = st.params, st.batch_stats
+        print(f"restored {args.checkpoint}")
+
+    n = min(len(ds), args.limit) if args.limit else len(ds)
+    samples, latencies = [], []
+    for i in range(n):
+        s = ds[i]
+        b = dp.collate_det([s], cap)
+        t0 = time.perf_counter()
+        task_outs = forward(params, bstats, jnp.asarray(b["voxels"]),
+                            jnp.asarray(b["coords"]),
+                            jnp.asarray(b["num_points"]),
+                            jnp.asarray(b["nnz"]))
+        task_outs = jax.device_get(task_outs)
+        latencies.append(time.perf_counter() - t0)
+
+        boxes_l, scores_l, labels_l = [], [], []
+        for boxes, scores, labels, mask in task_outs:
+            m = np.asarray(mask[0])
+            bx, sc, lb = (np.asarray(boxes[0])[m], np.asarray(scores[0])[m],
+                          np.asarray(labels[0])[m])
+            if len(bx) == 0:
+                continue
+            b7 = bx[:, [0, 1, 2, 3, 4, 5, 8]]
+            keep = rotate_nms_pcdet(b7, sc,
+                                    thresh=TEST_CFG["nms_iou_threshold"],
+                                    pre_maxsize=TEST_CFG["nms_pre_max_size"],
+                                    post_max_size=TEST_CFG["nms_post_max_size"])
+            boxes_l.append(bx[keep])
+            scores_l.append(sc[keep])
+            labels_l.append(lb[keep])
+        if boxes_l:
+            pb = np.concatenate(boxes_l)
+            ps = np.concatenate(scores_l)
+            pl = np.concatenate(labels_l)
+        else:
+            pb, ps, pl = (np.zeros((0, 9)), np.zeros(0),
+                          np.zeros(0, np.int64))
+
+        if args.tt_rotation != 0.0:
+            from link_tpu.eval.tta_fusion import rotate_predictions_back
+            pb = rotate_predictions_back(pb, np.deg2rad(args.tt_rotation))
+
+        rec = {"token": s.get("token", str(i)), "pred_boxes": pb,
+               "pred_scores": ps, "pred_labels": pl}
+        if "gt_boxes" in s:
+            rec["gt_boxes"] = s["gt_boxes"]
+            rec["gt_classes"] = s["gt_classes"]
+        samples.append(rec)
+        if (i + 1) % 50 == 0:
+            print(f"[{i+1}/{n}]", flush=True)
+
+    if args.speed_test and len(latencies) > 3:
+        third = len(latencies) // 3
+        mid = latencies[third:2 * third]
+        print(f"latency (middle third): {np.mean(mid)*1000:.1f} ms "
+              f"({1/np.mean(mid):.2f} samples/s)")
+
+    if args.out:
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump([{k: (v.tolist() if isinstance(v, np.ndarray) else v)
+                        for k, v in s.items()} for s in samples], f)
+
+    if samples and "gt_boxes" in samples[0]:
+        gt_c, pr_c, sc_c = NE.group_by_class(samples)
+        metrics = NE.evaluate_nuscenes(gt_c, pr_c, sc_c)
+        print(f"mAP: {metrics['mean_ap']*100:.2f}  NDS: "
+              f"{metrics['nds']*100:.2f}")
+        for c, ap in metrics["class_aps"].items():
+            print(f"  {c}: AP {ap*100:.1f}")
+
+
+if __name__ == "__main__":
+    main()

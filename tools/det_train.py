@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Detection training entry point (reference: detection/tools/train.py).
+
+One-cycle Adam (lr_max 1e-3, moms 0.95->0.85), grad clip 35, CBGS, GT-AUG
+(when a gt database exists), 20 epochs with the GT-AUG "fading" switch at
+--no-aug-from (reference GET_STARTED: disable GT-AUG for the last 5
+epochs by restarting; here it's a flag).
+
+Usage:
+  python tools/det_train.py [--synthetic] [--info-path ...] [--epochs N]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--info-path", default="data/nuScenes/infos_train_10sweeps_withvelo_filter_True.pkl")
+    ap.add_argument("--root-path", default="data/nuScenes")
+    ap.add_argument("--db-info-path", default=None)
+    ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--epochs", type=int, default=20)
+    ap.add_argument("--samples-per-device", type=int, default=2)
+    ap.add_argument("--no-aug-from", type=int, default=16,
+                    help="epoch from which GT-AUG is disabled (fading)")
+    ap.add_argument("--run-dir", default=None)
+    ap.add_argument("--voxel-capacity", type=int, default=163840)
+    ap.add_argument("--grid", type=int, nargs=3, default=[1440, 1440, 40])
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+    from link_tpu.data import det_pipeline as dp
+    from link_tpu.data.nuscenes import NuScenesDataset, SyntheticNuScenes
+    from link_tpu.data.loader import PrefetchLoader, epoch_indices, shard_indices
+    from link_tpu.models.voxelnet import VoxelNet
+    from link_tpu.train import trainer as T
+    from link_tpu.train import det_trainer as DT
+    from link_tpu.train import schedules
+    from link_tpu.train.checkpoint import save_checkpoint
+
+    devices = jax.devices()
+    ndev = len(devices)
+    mesh = T.make_data_mesh(devices)
+    spd = args.samples_per_device
+
+    db_sampler = None
+    if args.db_info_path and os.path.exists(args.db_info_path):
+        from link_tpu.data.gt_aug import DataBaseSampler
+        db_sampler = DataBaseSampler(args.db_info_path, args.root_path)
+
+    if args.synthetic or not os.path.exists(args.info_path):
+        print("using synthetic nuScenes")
+        train_ds = SyntheticNuScenes(length=max(8, ndev * spd), mode="train")
+        grid = (1440, 1440, 40)
+    else:
+        train_ds = NuScenesDataset(args.info_path, args.root_path,
+                                   mode="train", db_sampler=db_sampler)
+        grid = tuple(args.grid)
+
+    cap = args.voxel_capacity * spd
+    model = VoxelNet(num_input_features=5, batch_size=spd, grid_shape=grid,
+                     capacities=tuple(
+                         max(1024, cap // f) for f in (1, 2, 4, 8)))
+
+    total_steps = args.epochs * max(1, len(train_ds) // (ndev * spd))
+    lr_fn, mom_fn = schedules.one_cycle(1e-3, total_steps)
+    init_fn, train_step = DT.make_det_train_step(model, lr_fn, mom_fn, mesh)
+
+    def make_dev_batch(idxs):
+        return dp.collate_det([train_ds[int(i)] for i in idxs], cap)
+
+    b0 = make_dev_batch(range(spd))
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.asarray(b0["voxels"]), jnp.asarray(b0["coords"]),
+                           jnp.asarray(b0["num_points"]),
+                           jnp.asarray(b0["nnz"]), False)
+    state = T.TrainState(step=jnp.int32(0), params=variables["params"],
+                         batch_stats=variables["batch_stats"],
+                         opt_state=init_fn(variables["params"]))
+    nparams = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
+    print(f"params: {nparams/1e6:.2f}M, total_steps={total_steps}")
+
+    shard = jax.sharding.NamedSharding(mesh,
+                                       jax.sharding.PartitionSpec(T.DATA_AXIS))
+    run_dir = args.run_dir or os.path.join("runs", "det-" +
+                                           time.strftime("%m%d%H%M"))
+    os.makedirs(run_dir, exist_ok=True)
+
+    steps_per_epoch = max(1, len(train_ds) // (ndev * spd))
+    for epoch in range(1, args.epochs + 1):
+        if epoch == args.no_aug_from and hasattr(train_ds, "db_sampler"):
+            train_ds.db_sampler = None  # GT-AUG fading
+        idx = epoch_indices(len(train_ds), epoch)
+        shards = shard_indices(idx[:steps_per_epoch * ndev * spd], ndev)
+
+        def make_batch(step, shards=shards):
+            per_dev = [make_dev_batch(shards[d][step * spd:(step + 1) * spd])
+                       for d in range(ndev)]
+            return jax.device_put(T.stack_device_batches(per_dev), shard)
+
+        t0 = time.time()
+        losses = []
+        for gb in PrefetchLoader(make_batch, steps_per_epoch):
+            state, metrics = train_step(state, gb)
+            losses.append(metrics["loss"])
+        loss = float(np.mean([np.asarray(l) for l in losses]))
+        print(f"epoch {epoch}: loss={loss:.4f} "
+              f"({steps_per_epoch * ndev * spd / (time.time() - t0):.2f} "
+              f"samples/s)", flush=True)
+        save_checkpoint(run_dir, state, epoch)
+
+
+if __name__ == "__main__":
+    main()
