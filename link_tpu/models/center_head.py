@@ -150,8 +150,61 @@ def center_head_loss(preds: List[Dict], example: Dict, weight: float = 0.25,
     return total, logs
 
 
+def double_flip_fuse(pd: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    """Fuse predictions from a batch ordered in groups of 4:
+    [original, y-flip, x-flip, xy-flip] (center_head.py:320-416).
+
+    Maps are NHWC. Flips: group 1 flips H (y), group 2 flips W (x), group 3
+    both; regression offsets/vectors are sign-corrected, then all four are
+    averaged."""
+    out = {}
+    b4, h, w, _ = pd["hm"].shape
+    b = b4 // 4
+
+    def regroup(v):
+        v = v.reshape(b, 4, h, w, v.shape[-1])
+        return jnp.stack([
+            v[:, 0],
+            jnp.flip(v[:, 1], axis=1),
+            jnp.flip(v[:, 2], axis=2),
+            jnp.flip(v[:, 3], axis=(1, 2)),
+        ], axis=1)
+
+    # hm averaged in probability space, dim in metric space
+    # (center_head.py:345-355: sigmoid/exp applied before the flip means)
+    hm = regroup(jax.nn.sigmoid(pd["hm"]))
+    hei = regroup(pd["height"])
+    dim = regroup(jnp.exp(pd["dim"]))
+    out["hm"] = jnp.mean(hm, axis=1)
+    out["height"] = jnp.mean(hei, axis=1)
+    out["dim"] = jnp.mean(dim, axis=1)
+
+    reg = regroup(pd["reg"])
+    reg = reg.at[:, 1, ..., 1].set(1 - reg[:, 1, ..., 1])
+    reg = reg.at[:, 2, ..., 0].set(1 - reg[:, 2, ..., 0])
+    reg = reg.at[:, 3, ..., 0].set(1 - reg[:, 3, ..., 0])
+    reg = reg.at[:, 3, ..., 1].set(1 - reg[:, 3, ..., 1])
+    out["reg"] = jnp.mean(reg, axis=1)
+
+    rot = regroup(pd["rot"])
+    rots, rotc = rot[..., 0:1], rot[..., 1:2]
+    rotc = rotc.at[:, 1].multiply(-1)
+    rots = rots.at[:, 2].multiply(-1)
+    rots = rots.at[:, 3].multiply(-1)
+    rotc = rotc.at[:, 3].multiply(-1)
+    out["rot"] = jnp.concatenate([jnp.mean(rots, 1), jnp.mean(rotc, 1)], -1)
+
+    if "vel" in pd:
+        vel = regroup(pd["vel"])
+        vel = vel.at[:, 1, ..., 1].multiply(-1)
+        vel = vel.at[:, 2, ..., 0].multiply(-1)
+        vel = vel.at[:, 3].multiply(-1)
+        out["vel"] = jnp.mean(vel, axis=1)
+    return out
+
+
 def decode_boxes(preds: List[Dict], test_cfg: Dict,
-                 num_classes: Sequence[int]):
+                 num_classes: Sequence[int], double_flip: bool = False):
     """center_head.py:296-446 decode (no NMS): per task returns
     (boxes (B, H*W, 9), scores (B, H*W), labels (B, H*W), mask (B, H*W)).
     Labels are offset to global class ids."""
@@ -163,9 +216,15 @@ def decode_boxes(preds: List[Dict], test_cfg: Dict,
     score_thr = test_cfg["score_threshold"]
     class_offset = 0
     for t, pd in enumerate(preds):
-        hm = jax.nn.sigmoid(pd["hm"])
+        if double_flip:
+            pd = double_flip_fuse(pd)
+            hm = pd["hm"]
+            dim_map = pd["dim"]
+        else:
+            hm = jax.nn.sigmoid(pd["hm"])
+            dim_map = jnp.exp(pd["dim"])
         b, h, w, c = hm.shape
-        dim = jnp.exp(pd["dim"].reshape(b, h * w, 3))
+        dim = dim_map.reshape(b, h * w, 3)
         rots = pd["rot"][..., 0:1].reshape(b, h * w, 1)
         rotc = pd["rot"][..., 1:2].reshape(b, h * w, 1)
         rot = jnp.arctan2(rots, rotc)

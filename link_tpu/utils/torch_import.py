@@ -1,0 +1,158 @@
+"""Reference-checkpoint translation: torch .pth state_dicts -> flax params.
+
+The reference's weight layouts were preserved by design (SparseConv3d
+(K, Ci, Co) — nn/modules/conv.py:36-38; Linear transposed vs torch;
+BatchNorm1d / LayerNorm scale+bias), so translation is a name remap plus
+the torch Linear/Conv transpose. Handles 'module.' prefixes
+(checkpoint.py:166-233 tolerance).
+
+Segmentation model name maps cover ELKUNet / ELKEncoder / MinkUNet.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    import torch
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("model", ckpt.get("state_dict", ckpt))
+    out = {}
+    for k, v in sd.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        out[k] = v.detach().cpu().numpy()
+    return out
+
+
+def _seq_conv_bn(prefix_t: str, prefix_f: str, idx_conv: int = 0,
+                 idx_bn: int = 1) -> Dict[str, Tuple[str, str]]:
+    """torch Sequential(conv, bn, relu) -> our (conv kernel, bn params)."""
+    m = {
+        f"{prefix_t}.{idx_conv}.kernel": (f"{prefix_f}", "kernel"),
+        f"{prefix_t}.{idx_bn}.weight": (f"{prefix_f}_bn", "scale"),
+        f"{prefix_t}.{idx_bn}.bias": (f"{prefix_f}_bn", "bias"),
+    }
+    return m
+
+
+def translate_elkunet(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Map the reference ELKUNet state_dict (linkunet.py:188-385) onto our
+    flax ELKUNet param/batch_stats trees. Returns {'params': ..,
+    'batch_stats': ..} nested dicts."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def put(tree, module, name, value):
+        tree.setdefault(module, {})[name] = value
+
+    def conv(mod_f, key_t):
+        put(params, mod_f, "kernel", sd[key_t])
+
+    def bn(mod_f, prefix_t):
+        put(params, mod_f, "scale", sd[prefix_t + ".weight"])
+        put(params, mod_f, "bias", sd[prefix_t + ".bias"])
+        put(stats, mod_f, "mean", sd[prefix_t + ".running_mean"])
+        put(stats, mod_f, "var", sd[prefix_t + ".running_var"])
+
+    def linear(mod_f, prefix_t, bias=True):
+        put(params, mod_f, "kernel", sd[prefix_t + ".weight"].T)
+        if bias and prefix_t + ".bias" in sd:
+            put(params, mod_f, "bias", sd[prefix_t + ".bias"])
+
+    def layernorm(mod_f, prefix_t):
+        put(params, mod_f, "scale", sd[prefix_t + ".weight"])
+        put(params, mod_f, "bias", sd[prefix_t + ".bias"])
+
+    # stem: stem.0 conv, stem.1 bn, stem.3 conv, stem.4 bn
+    conv("stem0", "stem.0.kernel")
+    bn("stem0_bn", "stem.1")
+    conv("stem1", "stem.3.kernel")
+    bn("stem1_bn", "stem.4")
+
+    def res_block(mod_f, prefix_t):
+        sub = {}
+        subs = {}
+        sub["SparseConv3d_0"] = {"kernel": sd[f"{prefix_t}.net.0.kernel"]}
+        sub["SparseBatchNorm_0"] = {"scale": sd[f"{prefix_t}.net.1.weight"],
+                                    "bias": sd[f"{prefix_t}.net.1.bias"]}
+        subs["SparseBatchNorm_0"] = {
+            "mean": sd[f"{prefix_t}.net.1.running_mean"],
+            "var": sd[f"{prefix_t}.net.1.running_var"]}
+        sub["SparseConv3d_1"] = {"kernel": sd[f"{prefix_t}.net.3.kernel"]}
+        sub["SparseBatchNorm_1"] = {"scale": sd[f"{prefix_t}.net.4.weight"],
+                                    "bias": sd[f"{prefix_t}.net.4.bias"]}
+        subs["SparseBatchNorm_1"] = {
+            "mean": sd[f"{prefix_t}.net.4.running_mean"],
+            "var": sd[f"{prefix_t}.net.4.running_var"]}
+        if f"{prefix_t}.downsample.0.kernel" in sd:
+            sub["SparseConv3d_2"] = {
+                "kernel": sd[f"{prefix_t}.downsample.0.kernel"]}
+            sub["SparseBatchNorm_2"] = {
+                "scale": sd[f"{prefix_t}.downsample.1.weight"],
+                "bias": sd[f"{prefix_t}.downsample.1.bias"]}
+            subs["SparseBatchNorm_2"] = {
+                "mean": sd[f"{prefix_t}.downsample.1.running_mean"],
+                "var": sd[f"{prefix_t}.downsample.1.running_var"]}
+        return sub, subs
+
+    for lvl in range(1, 5):
+        # down block: Sequential(BasicConvolutionBlock) -> net.0 conv net.1 bn
+        p, s = {}, {}
+        p["SparseConv3d_0"] = {"kernel": sd[f"down{lvl}.0.net.0.kernel"]}
+        p["SparseBatchNorm_0"] = {"scale": sd[f"down{lvl}.0.net.1.weight"],
+                                  "bias": sd[f"down{lvl}.0.net.1.bias"]}
+        s["SparseBatchNorm_0"] = {
+            "mean": sd[f"down{lvl}.0.net.1.running_mean"],
+            "var": sd[f"down{lvl}.0.net.1.running_var"]}
+        params[f"down{lvl}"] = p
+        stats[f"down{lvl}"] = s
+
+        for bi in range(2):
+            p, s = res_block(f"stage{lvl}.{bi}", f"stage{lvl}.{bi}")
+            params[f"stage{lvl}_{bi}"] = p
+            stats[f"stage{lvl}_{bi}"] = s
+        conv(f"stage{lvl}_tail", f"stage{lvl}_tail.0.kernel")
+        bn(f"stage{lvl}_tail_bn", f"stage{lvl}_tail.1")
+
+        # ELK block
+        ep: Dict[str, Any] = {}
+        es: Dict[str, Any] = {}
+        ep["pre_mix"] = {"kernel": sd[f"elk{lvl}.pre_mix.0.weight"].T}
+        ep["pre_mix_norm"] = {"scale": sd[f"elk{lvl}.pre_mix.1.weight"],
+                              "bias": sd[f"elk{lvl}.pre_mix.1.bias"]}
+        ep["local_mix"] = {"kernel": sd[f"elk{lvl}.local_mix.0.kernel"]}
+        ep["pos_weight"] = {"kernel": sd[f"elk{lvl}.pos_weight.0.weight"].T}
+        if f"elk{lvl}.alpha" in sd:
+            ep["alpha"] = sd[f"elk{lvl}.alpha"]
+        ep["norm"] = {"scale": sd[f"elk{lvl}.norm.weight"],
+                      "bias": sd[f"elk{lvl}.norm.bias"]}
+        ep["norm_local"] = {"scale": sd[f"elk{lvl}.norm_local.weight"],
+                            "bias": sd[f"elk{lvl}.norm_local.bias"]}
+        params[f"elk{lvl}"] = ep
+        stats[f"elk{lvl}"] = es
+        conv(f"elk{lvl}_tail", f"elk{lvl}_tail.0.kernel")
+        bn(f"elk{lvl}_tail_bn", f"elk{lvl}_tail.1")
+
+    for lvl in range(1, 5):
+        p, s = {}, {}
+        p["SparseConv3d_0"] = {"kernel": sd[f"up{lvl}.0.net.0.kernel"]}
+        p["SparseBatchNorm_0"] = {"scale": sd[f"up{lvl}.0.net.1.weight"],
+                                  "bias": sd[f"up{lvl}.0.net.1.bias"]}
+        s["SparseBatchNorm_0"] = {
+            "mean": sd[f"up{lvl}.0.net.1.running_mean"],
+            "var": sd[f"up{lvl}.0.net.1.running_var"]}
+        params[f"up{lvl}_deconv"] = p
+        stats[f"up{lvl}_deconv"] = s
+        for bi in range(2):
+            p, s = res_block(f"up{lvl}.1.{bi}", f"up{lvl}.1.{bi}")
+            params[f"up{lvl}_res{bi}"] = p
+            stats[f"up{lvl}_res{bi}"] = s
+
+    linear("classifier", "classifier.0")
+
+    # flax alpha shape (1, C) matches torch
+    return {"params": params, "batch_stats": stats}
