@@ -1,0 +1,151 @@
+"""Pallas TPU kernels for the sparse hot path.
+
+Rationale (see SURVEY.md §7 phase 3): the XLA fallback implements joins and
+sparse convs with random HBM gathers — the conv reads ~K*N*C*4 bytes of
+random rows per layer and the join does log2(N) gather rounds over the
+table. At LinK's sizes both tables fit in VMEM:
+
+  * coord key table: 2 x int32 x 128k rows  = 1 MB
+  * feature table:   64ch x 128k rows bf16  = 16 MB (f32 tiled by channel)
+
+so these kernels pin the table in VMEM once and stream query/output tiles
+through it, turning HBM-latency-bound code into VPU/MXU-bound code.
+
+All kernels support interpret mode for CPU tests.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _lower_bound_in_vmem(t_hi, t_lo, q_hi, q_lo, n_table: int):
+    """Vectorized lower bound; t_* are (N,) arrays resident in VMEM."""
+    steps = max(1, int(np.ceil(np.log2(n_table + 1))))
+    lo = jnp.zeros(q_hi.shape, jnp.int32)
+    hi = jnp.full(q_hi.shape, n_table, jnp.int32)
+
+    def body(_, carry):
+        lo_i, hi_i = carry
+        mid = (lo_i + hi_i) >> 1
+        mid_c = jnp.minimum(mid, n_table - 1)
+        th = jnp.take(t_hi, mid_c, axis=0)
+        tl = jnp.take(t_lo, mid_c, axis=0)
+        less = (th < q_hi) | ((th == q_hi) & (tl < q_lo))
+        return jnp.where(less, mid + 1, lo_i), jnp.where(less, hi_i, mid)
+
+    lo, _ = jax.lax.fori_loop(0, steps, body, (lo, hi))
+    return lo
+
+
+def _join_kernel(t_hi_ref, t_lo_ref, perm_ref, q_hi_ref, q_lo_ref, out_ref):
+    t_hi = t_hi_ref[:]
+    t_lo = t_lo_ref[:]
+    n = t_hi.shape[0]
+    q_hi = q_hi_ref[:]
+    q_lo = q_lo_ref[:]
+    pos = _lower_bound_in_vmem(t_hi, t_lo, q_hi, q_lo, n)
+    pos_c = jnp.minimum(pos, n - 1)
+    hit = ((jnp.take(t_hi, pos_c, axis=0) == q_hi)
+           & (jnp.take(t_lo, pos_c, axis=0) == q_lo)
+           & (q_hi != np.int32(2**31 - 1)))
+    out_ref[:] = jnp.where(hit, jnp.take(perm_ref[:], pos_c, axis=0), -1)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
+def pallas_join(t_hi: jnp.ndarray, t_lo: jnp.ndarray, perm: jnp.ndarray,
+                q_hi: jnp.ndarray, q_lo: jnp.ndarray,
+                block_q: int = 32768, interpret: bool = False) -> jnp.ndarray:
+    """Sorted-table join: queries (Q,) against table (N,), table pinned in
+    VMEM across all query tiles. Returns row index or -1."""
+    q = q_hi.shape[0]
+    pad = (-q) % block_q
+    if pad:
+        q_hi = jnp.concatenate([q_hi, jnp.full((pad,), 2**31 - 1, jnp.int32)])
+        q_lo = jnp.concatenate([q_lo, jnp.full((pad,), 2**31 - 1, jnp.int32)])
+    grid = (q_hi.shape[0] // block_q,)
+    out = pl.pallas_call(
+        _join_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # table hi (whole)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # table lo
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # perm
+            pl.BlockSpec((block_q,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q,), lambda i: (i,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_q,), lambda i: (i,),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((q_hi.shape[0],), jnp.int32),
+        interpret=interpret,
+    )(t_hi, t_lo, perm, q_hi, q_lo)
+    return out[:q]
+
+
+def _conv_kernel(idx_ref, feats_ref, w_ref, out_ref):
+    """One output tile: out[m] = sum_k feats[idx[k, m]] @ W[k].
+
+    feats (N+1, C) stays whole in VMEM (misses point at row N, all-zero);
+    idx tile (K, TM); W (K, C, Co)."""
+    k = idx_ref.shape[0]
+    feats = feats_ref[:]
+
+    def body(kk, acc):
+        rows = jnp.take(feats, idx_ref[kk, :], axis=0)       # (TM, C)
+        return acc + jnp.dot(rows, w_ref[kk],
+                             preferred_element_type=jnp.float32)
+
+    acc = jax.lax.fori_loop(
+        0, k, body,
+        jnp.zeros((idx_ref.shape[1], w_ref.shape[2]), jnp.float32))
+    out_ref[:] = acc.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "interpret"))
+def pallas_sparse_conv(feats: jnp.ndarray, idx: jnp.ndarray,
+                       weight: jnp.ndarray, block_m: int = 1024,
+                       interpret: bool = False) -> jnp.ndarray:
+    """Gather-matmul sparse conv with the feature table pinned in VMEM.
+
+    feats: (N, C); idx: (K, M) int32 with -1 miss; weight: (K, C, Co).
+    Returns (M, Co) in feats.dtype. Requires (N+1)*C*itemsize to fit VMEM —
+    callers fall back to the XLA path otherwise.
+    """
+    n, c = feats.shape
+    k, m = idx.shape
+    co = weight.shape[2]
+    feats_ext = jnp.concatenate([feats, jnp.zeros((1, c), feats.dtype)])
+    idx = jnp.where(idx >= 0, idx, n).astype(jnp.int32)
+    pad = (-m) % block_m
+    if pad:
+        idx = jnp.concatenate([idx, jnp.full((k, pad), n, jnp.int32)], axis=1)
+    grid = (idx.shape[1] // block_m,)
+    out = pl.pallas_call(
+        _conv_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((k, block_m), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # feats whole
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # weights whole
+        ],
+        out_specs=pl.BlockSpec((block_m, co), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((idx.shape[1], co), feats.dtype),
+        interpret=interpret,
+    )(idx, feats_ext, weight)
+    return out[:m]
+
+
+def vmem_conv_fits(n: int, c: int, co: int, k: int,
+                   itemsize: int = 4, budget: int = 100 * 2**20) -> bool:
+    """Whether the whole-table conv kernel fits the VMEM budget."""
+    need = (n + 1) * c * itemsize + k * c * co * 4
+    return need < budget
