@@ -59,10 +59,8 @@ def aux_to_voxel(aux: SparseTensor, x: SparseTensor, idx_query: jnp.ndarray,
     """
     offsets = coordlib.kernel_offsets_np((r, r, r), stride=1, dilation=1)
     table = coordlib.build_table(aux.coords)
-    qxyz = aux.coords[None, :, :3] + jnp.asarray(offsets, jnp.int32)[:, None, :]
-    qb = jnp.broadcast_to(aux.coords[None, :, 3:],
-                          (offsets.shape[0],) + aux.coords[:, 3:].shape)
-    nb_idx = table.query(jnp.concatenate([qxyz, qb], axis=-1))  # (r^3, M_aux)
+    # aux coords are divided coords (quantum 1) -> grouped window join
+    nb_idx = coordlib.grouped_window_query(table, aux.coords, offsets, 1)
     nb_idx = nb_idx.T                                           # (M_aux, r^3)
 
     f = jnp.concatenate(

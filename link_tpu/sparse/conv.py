@@ -24,6 +24,7 @@ from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import coords as coordlib
 from . import ops as spops
@@ -34,16 +35,27 @@ def build_conv_plan(in_coords: jnp.ndarray,
                     out_coords: jnp.ndarray,
                     out_nnz: jnp.ndarray,
                     offsets,
-                    in_capacity: int) -> ConvPlan:
+                    in_capacity: int,
+                    quantum: int = 0) -> ConvPlan:
     """Build the kernel map: for each output row and tap, the input row at
     out_coord + offset (or -1). Mirrors conv.py:103-122 (offsets -> hash ->
-    query) with an exact sorted-table join instead of hashing."""
+    query) with an exact sorted-table join instead of hashing.
+
+    When the taps' x-offsets form quantum-step runs (every LinK kernel),
+    the join uses one binary search per (dy, dz) group plus consecutive-row
+    compares (grouped_window_query) — ~3x less search traffic."""
     table = coordlib.build_table(in_coords)
-    offs = jnp.asarray(offsets, jnp.int32)                     # (K, 3)
-    qxyz = out_coords[None, :, :3] + offs[:, None, :]          # (K, M, 3)
-    qb = jnp.broadcast_to(out_coords[None, :, 3:], (offs.shape[0],) + out_coords[:, 3:].shape)
-    queries = jnp.concatenate([qxyz, qb], axis=-1)             # (K, M, 4)
-    in_idx = table.query(queries)                              # (K, M)
+    offs_np = np.asarray(offsets)
+    if quantum and coordlib.can_group_offsets(offs_np, quantum):
+        in_idx = coordlib.grouped_window_query(table, out_coords, offs_np,
+                                               quantum)
+    else:
+        offs = jnp.asarray(offs_np, jnp.int32)                 # (K, 3)
+        qxyz = out_coords[None, :, :3] + offs[:, None, :]      # (K, M, 3)
+        qb = jnp.broadcast_to(out_coords[None, :, 3:],
+                              (offs.shape[0],) + out_coords[:, 3:].shape)
+        queries = jnp.concatenate([qxyz, qb], axis=-1)         # (K, M, 4)
+        in_idx = table.query(queries)                          # (K, M)
     return ConvPlan(in_idx=in_idx, out_coords=out_coords, out_nnz=out_nnz,
                     in_capacity=in_capacity, out_capacity=out_coords.shape[0])
 
@@ -130,7 +142,8 @@ def conv3d(x: SparseTensor,
             else:
                 out_coords, out_nnz = x.coords, x.nnz
             plan = build_conv_plan(x.coords, out_coords, out_nnz, offsets,
-                                   in_capacity=x.capacity)
+                                   in_capacity=x.capacity,
+                                   quantum=x.stride[0] * dilation[0])
             x.kmaps[key] = plan
 
         feats = apply_conv_plan(x.feats, weight, plan, transposed=False)

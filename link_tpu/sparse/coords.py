@@ -116,18 +116,63 @@ def lower_bound(table_hi: jnp.ndarray, table_lo: jnp.ndarray,
     return lo_idx
 
 
+def lower_bound_rows(rows: jnp.ndarray, q_hi: jnp.ndarray,
+                     q_lo: jnp.ndarray) -> jnp.ndarray:
+    """Lower bound over a packed (N, >=2) int32 row table [hi | lo | ...].
+
+    TPU-perf-critical form: scalar-element gathers run ~20x slower than row
+    gathers (which are row-count bound), so each binary-search round does
+    ONE row gather instead of two element gathers.
+    """
+    n = rows.shape[0]
+    steps = max(1, int(np.ceil(np.log2(n + 1))))
+    lo_idx = jnp.zeros(q_hi.shape, dtype=jnp.int32)
+    hi_idx = jnp.full(q_hi.shape, n, dtype=jnp.int32)
+
+    def body(_, carry):
+        lo_i, hi_i = carry
+        mid = (lo_i + hi_i) >> 1
+        mid_c = jnp.minimum(mid, n - 1)
+        r = rows[mid_c]                                   # (..., W) one gather
+        t_hi, t_lo = r[..., 0], r[..., 1]
+        less = (t_hi < q_hi) | ((t_hi == q_hi) & (t_lo < q_lo))
+        lo_i = jnp.where(less, mid + 1, lo_i)
+        hi_i = jnp.where(less, hi_i, mid)
+        return lo_i, hi_i
+
+    lo_idx, _ = jax.lax.fori_loop(0, steps, body, (lo_idx, hi_idx))
+    return lo_idx
+
+
 class CoordTable:
     """Sorted key table over a coordinate set, for repeated joins.
 
     Equivalent of building the reference's cuckoo hash table once per
     coordinate map (backend/hashmap/hashmap_cuda.cu) and querying it many
-    times (`sphashquery`, nn/functional/query.py:8-33).
+    times (`sphashquery`, nn/functional/query.py:8-33). Keys + permutation
+    are packed into 8-lane int32 rows so every probe is a single row
+    gather.
     """
 
-    def __init__(self, hi, lo, perm):
-        self.hi = hi      # sorted keys
-        self.lo = lo
-        self.perm = perm  # sorted position -> original row
+    ROW_W = 8
+
+    def __init__(self, rows: jnp.ndarray):
+        self.rows = rows                 # (N, 8): [hi, lo, perm, pad...]
+
+    @property
+    def hi(self):
+        return self.rows[:, 0]
+
+    @property
+    def lo(self):
+        return self.rows[:, 1]
+
+    @property
+    def perm(self):
+        return self.rows[:, 2]
+
+    def lower_bound(self, q_hi, q_lo):
+        return lower_bound_rows(self.rows, q_hi, q_lo)
 
     def query(self, coords: jnp.ndarray) -> jnp.ndarray:
         """Return index of each query coord in the original coordinate rows,
@@ -135,10 +180,11 @@ class CoordTable:
         shape = coords.shape[:-1]
         flat = coords.reshape(-1, coords.shape[-1])
         q_hi, q_lo = pack_coords(flat)
-        pos = lower_bound(self.hi, self.lo, q_hi, q_lo)
-        pos_c = jnp.minimum(pos, self.hi.shape[0] - 1)
-        hit = (self.hi[pos_c] == q_hi) & (self.lo[pos_c] == q_lo) & key_is_valid(q_hi)
-        idx = jnp.where(hit, self.perm[pos_c], -1)
+        pos = self.lower_bound(q_hi, q_lo)
+        pos_c = jnp.minimum(pos, self.rows.shape[0] - 1)
+        r = self.rows[pos_c]
+        hit = (r[:, 0] == q_hi) & (r[:, 1] == q_lo) & key_is_valid(q_hi)
+        idx = jnp.where(hit, r[:, 2], -1)
         return idx.reshape(shape)
 
 
@@ -146,7 +192,10 @@ def build_table(coords: jnp.ndarray) -> CoordTable:
     hi, lo = pack_coords(coords)
     perm = jnp.arange(coords.shape[0], dtype=jnp.int32)
     s_hi, s_lo, s_perm = sort_by_key(hi, lo, perm)
-    return CoordTable(s_hi, s_lo, s_perm)
+    n = coords.shape[0]
+    rows = jnp.zeros((n, CoordTable.ROW_W), jnp.int32)
+    rows = rows.at[:, 0].set(s_hi).at[:, 1].set(s_lo).at[:, 2].set(s_perm)
+    return CoordTable(rows)
 
 
 def unique_coords(coords: jnp.ndarray, out_capacity: int):
@@ -191,6 +240,87 @@ def unique_coords(coords: jnp.ndarray, out_capacity: int):
         jnp.where(in_range, slot_or_dump, -1).astype(jnp.int32)
     )
     return out_coords, inverse, out_nnz
+
+
+def grouped_window_query(table: "CoordTable", base_coords: jnp.ndarray,
+                         offsets: np.ndarray, quantum: int) -> jnp.ndarray:
+    """Kernel-window join exploiting sorted-key adjacency.
+
+    For each base coordinate and each tap offset (K, 3), find the table row
+    of base+offset. Taps sharing (dy, dz) whose x-offsets form an
+    arithmetic run with step == `quantum` (the level's x lattice spacing)
+    are resolved with ONE binary search (at the run's smallest x) plus G
+    consecutive-row key compares: occupied x cells are multiples of the
+    quantum, so the G candidate keys can only occupy the G rows following
+    the lower bound. Cuts binary-search row traffic ~3x for 3^3 kernels.
+
+    Returns in_idx (K, M) int32 (-1 miss). Requires every group to be such
+    a run — callers check `can_group_offsets` first.
+    """
+    offs = np.asarray(offsets)
+    k = offs.shape[0]
+    m = base_coords.shape[0]
+
+    groups = {}
+    for t in range(k):
+        groups.setdefault((int(offs[t, 1]), int(offs[t, 2])), []).append(
+            (int(offs[t, 0]), t))
+    glist = []
+    for (oy, oz), taps in groups.items():
+        taps = sorted(taps)
+        glist.append(((taps[0][0], oy, oz), taps))
+    g = len(glist)
+    gmax = max(len(taps) for _, taps in glist)
+
+    # one lower_bound over all group-base queries
+    base_xyz = base_coords[:, :3]
+    b_col = base_coords[:, 3:]
+    q_all = []
+    for (ox, oy, oz), _ in glist:
+        off = jnp.asarray([ox, oy, oz], jnp.int32)
+        q_all.append(jnp.concatenate([base_xyz + off, b_col], axis=1))
+    q_all = jnp.stack(q_all)                       # (G, M, 4)
+    q_hi, q_lo = pack_coords(q_all.reshape(-1, 4))
+    pos = table.lower_bound(q_hi, q_lo).reshape(g, m)
+    q_hi = q_hi.reshape(g, m)
+    q_lo = q_lo.reshape(g, m)
+
+    n = table.rows.shape[0]
+    in_idx = [None] * k
+    for gi, ((ox0, oy, oz), taps) in enumerate(glist):
+        gsize = len(taps)
+        rows = []
+        for r in range(gsize):
+            rows.append(table.rows[jnp.minimum(pos[gi] + r, n - 1)])
+        rows = jnp.stack(rows)                     # (gsize, M, W)
+        for ti, (ox, t) in enumerate(taps):
+            dx = ox - ox0
+            t_hi = q_hi[gi]
+            t_lo = q_lo[gi] + dx                   # x lives in lo's low bits
+            valid_q = t_hi != INT32_MAX
+            res = jnp.full((m,), -1, jnp.int32)
+            for r in range(gsize):
+                hit = ((rows[r][:, 0] == t_hi) & (rows[r][:, 1] == t_lo)
+                       & valid_q)
+                res = jnp.where(hit, rows[r][:, 2], res)
+            in_idx[t] = res
+    return jnp.stack(in_idx)
+
+
+def can_group_offsets(offsets: np.ndarray, quantum: int) -> bool:
+    """True when every (dy, dz) tap group's x-offsets form an arithmetic
+    run with step == quantum (the grouped_window_query precondition)."""
+    offs = np.asarray(offsets)
+    groups = {}
+    for t in range(offs.shape[0]):
+        groups.setdefault((int(offs[t, 1]), int(offs[t, 2])), []).append(
+            int(offs[t, 0]))
+    for xs in groups.values():
+        xs = sorted(xs)
+        for a, b in zip(xs, xs[1:]):
+            if b - a != quantum:
+                return False
+    return True
 
 
 @functools.lru_cache(maxsize=None)

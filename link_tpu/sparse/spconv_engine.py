@@ -76,11 +76,16 @@ def build_spconv_plan(in_coords: jnp.ndarray, out_coords: jnp.ndarray,
     s = np.asarray(stride, np.int32)
     p = np.asarray(padding, np.int32)
     table = coordlib.build_table(in_coords)
-    base = out_coords[None, :, :3] * jnp.asarray(s)[None, None, :]
-    q = base + jnp.asarray(taps - p[None, :])[:, None, :]
-    qb = jnp.broadcast_to(out_coords[None, :, 3:],
-                          (taps.shape[0],) + out_coords[:, 3:].shape)
-    in_idx = table.query(jnp.concatenate([q, qb], axis=-1))
+    eff_offs = taps - p[None, :]
+    if (s == 1).all() and coordlib.can_group_offsets(eff_offs, 1):
+        in_idx = coordlib.grouped_window_query(table, out_coords, eff_offs, 1)
+    else:
+        base = out_coords[None, :, :3] * jnp.asarray(s)[None, None, :]
+        q = base + jnp.asarray(eff_offs)[:, None, :]
+        qb = jnp.broadcast_to(out_coords[None, :, 3:],
+                              (taps.shape[0],) + out_coords[:, 3:].shape)
+        q4 = jnp.concatenate([q, qb], axis=-1)
+        in_idx = table.query(q4)
     return ConvPlan(in_idx=in_idx, out_coords=out_coords, out_nnz=out_nnz,
                     in_capacity=in_capacity, out_capacity=out_coords.shape[0])
 
