@@ -157,24 +157,38 @@ class SemanticKITTI:
 
 def synthetic_scan(rng: np.random.Generator, n_points: int = 120000,
                    voxel_size: float = 0.05) -> Dict:
-    """Synthetic LiDAR-like scan (ground plane + scatterers) for tests and
-    benchmarks when the real dataset is absent. Spatial statistics roughly
-    follow SemanticKITTI (annular ground + vertical structures)."""
-    n_ground = n_points // 2
-    r = np.sqrt(rng.uniform(4, 2500, n_ground))
-    th = rng.uniform(0, 2 * np.pi, n_ground)
-    ground = np.stack([r * np.cos(th), r * np.sin(th),
-                       rng.normal(-1.7, 0.05, n_ground)], 1)
-    n_obj = n_points - n_ground
-    centers = rng.uniform(-40, 40, (60, 3)) * np.array([1, 1, 0])
-    which = rng.integers(0, 60, n_obj)
-    obj = centers[which] + rng.normal(0, 1.5, (n_obj, 3)) * np.array([1, 1, 2])
-    obj[:, 2] = np.abs(obj[:, 2]) * 0.5 - 1.5
-    xyz = np.concatenate([ground, obj]).astype(np.float32)
-    intensity = rng.uniform(0, 1, (n_points, 1)).astype(np.float32)
+    """Synthetic LiDAR scan with real beam geometry (64 elevation rings x
+    azimuth grid, HDL-64-like) so that voxel occupancy has the same
+    multi-scale sparsity profile as SemanticKITTI — essential for honest
+    capacity schedules and benchmarks. Downward beams hit the ground plane
+    (denser rings near the sensor), some rays hit vertical 'walls'/objects
+    at sampled ranges."""
+    n_az = max(64, n_points // 64)
+    az = np.linspace(0, 2 * np.pi, n_az, endpoint=False)
+    el = np.deg2rad(np.linspace(-24.8, 2.0, 64))
+    az_g, el_g = np.meshgrid(az, el)
+    az_g = (az_g + rng.normal(0, 1e-3, az_g.shape)).ravel()
+    el_g = el_g.ravel()
+
+    sensor_z = 1.73
+    # default: ground intersection for downward beams, far clip for upward
+    with np.errstate(divide="ignore"):
+        r_ground = np.where(el_g < -1e-3, sensor_z / np.tan(-el_g), 120.0)
+    # random obstacles: 25% of rays hit a vertical surface earlier
+    hit_obj = rng.random(el_g.shape) < 0.25
+    r_obj = np.exp(rng.uniform(np.log(2.5), np.log(60.0), el_g.shape))
+    r = np.where(hit_obj, np.minimum(r_obj, r_ground), r_ground)
+    r = np.clip(r + rng.normal(0, 0.02, r.shape), 2.0, 80.0)
+
+    x = r * np.cos(el_g) * np.cos(az_g)
+    y = r * np.cos(el_g) * np.sin(az_g)
+    z = sensor_z + r * np.sin(el_g) - 1.73
+    keep = rng.random(x.shape) < min(1.0, n_points / x.size)
+    xyz = np.stack([x, y, z], 1)[keep].astype(np.float32)
+    intensity = rng.uniform(0, 1, (len(xyz), 1)).astype(np.float32)
     points = np.concatenate([xyz, intensity], 1)
-    labels = np.concatenate([
-        np.full(n_ground, 9), rng.integers(1, 20, n_obj)]).astype(np.int64)
+    labels = np.where(hit_obj[keep], rng.integers(1, 20, len(xyz)),
+                      9).astype(np.int64)
     return {"points": points, "labels": labels}
 
 

@@ -20,7 +20,10 @@ from ..sparse.tensor import SparseTensor, cat
 from .blocks import BasicConvolutionBlock, BasicDeconvolutionBlock, ResidualBlock
 from .elk import ELKBlock
 
-DEFAULT_CAPACITIES = (84992, 43008, 19968, 8192, 3072)
+# Per-scan voxel capacities by stride level (1, 2, 4, 8, 16) for the 80k
+# training cap; calibrated with tools/calibrate_capacities.py (beam-geometry
+# synthetic; generous vs real SemanticKITTI whose coarse levels are sparser).
+DEFAULT_CAPACITIES = (84992, 62464, 43520, 27648, 14336)
 
 
 class ELKUNet(nn.Module):
