@@ -34,6 +34,10 @@ def main():
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--save-labels", default=None,
                     help="directory for submission .label dumps")
+    ap.add_argument("--tta", type=int, default=0,
+                    help="N-way rotation voting (reference use_tta / "
+                         "set_angle path): average point softmax over N "
+                         "z-rotations")
     ap.add_argument("--limit", type=int, default=0)
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args()
@@ -89,13 +93,48 @@ def main():
     miou = MeanIoU(cfg.data.num_classes, cfg.data.ignore_label)
     n = min(len(ds), args.limit) if args.limit else len(ds)
     for i in range(n):
-        scan = ds[i]
-        b = collate_scans([scan], caps[0])
-        logits = forward(state.params, state.batch_stats,
-                         jnp.asarray(b["feats"]), jnp.asarray(b["coords"]),
-                         jnp.asarray(b["nnz"]))
-        preds = np.asarray(jnp.argmax(logits, -1))[:int(b["nnz"])]
-        point_preds = preds[scan["inverse_map"]]
+        # rotation-voting TTA: average point-level softmax over N
+        # z-rotations of the input cloud (reference seg use_tta /
+        # set_angle voting path)
+        if args.tta > 1 and hasattr(ds, "files"):
+            raw = np.fromfile(ds.files[i], np.float32).reshape(-1, 4)
+            lf = ds.files[i].replace("velodyne", "labels").replace(
+                ".bin", ".label")
+            if os.path.exists(lf):
+                labels_raw = ds.label_map[np.fromfile(lf, np.int32) & 0xFFFF]
+            else:
+                labels_raw = np.zeros(len(raw), np.int64)
+            votes = None
+            from link_tpu.data.semantic_kitti import process_scan
+            for v in range(args.tta):
+                theta = 2 * np.pi * v / args.tta
+                rot = np.array([[np.cos(theta), np.sin(theta), 0],
+                                [-np.sin(theta), np.cos(theta), 0],
+                                [0, 0, 1]], np.float32)
+                pts = raw.copy()
+                pts[:, :3] = pts[:, :3] @ rot
+                scan = {}
+                s = process_scan(pts, labels_raw, cfg.dataset.voxel_size,
+                                 10 ** 9, False)
+                s["file_name"] = ds.files[i]
+                b = collate_scans([s], caps[0])
+                logits = forward(state.params, state.batch_stats,
+                                 jnp.asarray(b["feats"]),
+                                 jnp.asarray(b["coords"]),
+                                 jnp.asarray(b["nnz"]))
+                prob = np.asarray(jax.nn.softmax(logits, -1))[:int(b["nnz"])]
+                pv = prob[s["inverse_map"]]
+                votes = pv if votes is None else votes + pv
+            scan = {"point_labels": labels_raw, "file_name": ds.files[i]}
+            point_preds = votes.argmax(-1)
+        else:
+            scan = ds[i]
+            b = collate_scans([scan], caps[0])
+            logits = forward(state.params, state.batch_stats,
+                             jnp.asarray(b["feats"]), jnp.asarray(b["coords"]),
+                             jnp.asarray(b["nnz"]))
+            preds = np.asarray(jnp.argmax(logits, -1))[:int(b["nnz"])]
+            point_preds = preds[scan["inverse_map"]]
 
         if args.split == "val":
             labels = scan["point_labels"]
