@@ -66,23 +66,31 @@ def main():
 
     n_iters = 16
 
+    # NB: the remote TPU relay in this environment memoizes identical
+    # (executable, args) calls and its block_until_ready doesn't reliably
+    # block — so every timed call gets a distinct seed and timing forces
+    # host materialization.
     @jax.jit
-    def bench_loop(params, feats, coords, nnzs):
+    def bench_loop(seed, params, feats, coords, nnzs):
         def body(i, acc):
             k = i % n_scans
             st = make_sparse_tensor(feats[k], coords[k], nnz=nnzs[k])
             out = model.apply(params, st, False)
-            return acc + jnp.sum(out) * 1e-9
+            return acc + jnp.sum(out) * (1.0 + i + seed) * 1e-9
 
-        return jax.lax.fori_loop(0, n_iters, body, 0.0)
+        return jax.lax.fori_loop(0, n_iters, body, jnp.float32(0))
 
     t0 = time.perf_counter()
-    jax.block_until_ready(bench_loop(params, feats, coords, nnzs))
+    float(np.asarray(bench_loop(jnp.int32(0), params, feats, coords, nnzs)))
     print(f"# compile+first: {time.perf_counter() - t0:.1f}s", flush=True)
 
-    t0 = time.perf_counter()
-    jax.block_until_ready(bench_loop(params, feats, coords, nnzs))
-    dt = time.perf_counter() - t0
+    times = []
+    for s in (1, 2, 3):
+        t0 = time.perf_counter()
+        float(np.asarray(bench_loop(jnp.int32(s), params, feats, coords,
+                                    nnzs)))
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
     scans_per_sec = n_iters / dt
 
     print(json.dumps({
