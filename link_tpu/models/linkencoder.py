@@ -62,9 +62,12 @@ class ELKEncoder(nn.Module):
     capacities: Tuple[int, ...] = DEFAULT_CAPACITIES
     aux_capacities: Optional[Tuple[int, ...]] = None
     bn_axis: Optional[str] = None
+    dtype: str = "float32"  # bf16 halves MXU time + gather bytes
 
     @nn.compact
     def __call__(self, x: SparseTensor, train: bool = False):
+        import jax.numpy as _jnp
+        x = x.replace(feats=x.feats.astype(_jnp.dtype(self.dtype)))
         cs = [int(self.cr * c) for c in [64] * 9]
         caps = self.capacities
         aux_caps = self.aux_capacities or caps[1:]

@@ -21,9 +21,12 @@ class MinkUNet(nn.Module):
     in_channels: int = 4
     capacities: Tuple[int, ...] = DEFAULT_CAPACITIES
     bn_axis: Optional[str] = None
+    dtype: str = "float32"  # bf16 halves MXU time + gather bytes
 
     @nn.compact
     def __call__(self, x: SparseTensor, train: bool = False):
+        import jax.numpy as _jnp
+        x = x.replace(feats=x.feats.astype(_jnp.dtype(self.dtype)))
         cs = [int(self.cr * c) for c in [32, 32, 64, 128, 256, 256, 128, 96, 96]]
         caps = self.capacities
         ax = self.bn_axis

@@ -137,7 +137,8 @@ class Linear(nn.Module):
         std = 1.0 / math.sqrt(self.in_features)
         w = self.param("kernel", _conv_kernel_init(std),
                        (self.in_features, self.out_features))
-        y = jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
+        y = jnp.dot(x, w.astype(x.dtype),
+                    preferred_element_type=jnp.float32).astype(x.dtype)
         if self.use_bias:
             b = self.param("bias", _conv_kernel_init(std), (self.out_features,))
             y = y + b

@@ -77,7 +77,8 @@ def apply_conv_plan(feats: jnp.ndarray, weight: jnp.ndarray, plan: ConvPlan,
         def body(acc, xs):
             idx_k, w_k = xs
             x = feats_ext[idx_k]                               # (M_out, Ci)
-            acc = acc + jnp.dot(x, w_k, preferred_element_type=jnp.float32)
+            acc = acc + jnp.dot(x, w_k.astype(x.dtype),
+                                preferred_element_type=jnp.float32)
             return acc, None
 
         init = jnp.zeros((plan.out_capacity, co), jnp.float32)
@@ -89,7 +90,8 @@ def apply_conv_plan(feats: jnp.ndarray, weight: jnp.ndarray, plan: ConvPlan,
 
         def body(acc, xs):
             idx_k, w_k = xs                                    # (M_out,), (Ci, Co)
-            contrib = jnp.dot(feats, w_k, preferred_element_type=jnp.float32)
+            contrib = jnp.dot(feats, w_k.astype(feats.dtype),
+                              preferred_element_type=jnp.float32)
             safe = jnp.where(idx_k >= 0, idx_k, m_in)
             acc = acc.at[safe].add(contrib)
             return acc, None
@@ -124,7 +126,8 @@ def conv3d(x: SparseTensor,
     dilation = coordlib.make_ntuple(dilation)
 
     if kernel_size == (1, 1, 1) and stride == (1, 1, 1) and dilation == (1, 1, 1):
-        feats = jnp.dot(x.feats, weight, preferred_element_type=jnp.float32)
+        feats = jnp.dot(x.feats, weight.astype(x.feats.dtype),
+                        preferred_element_type=jnp.float32)
         feats = feats.astype(x.feats.dtype)
         if bias is not None:
             feats = feats + bias

@@ -78,3 +78,18 @@ def test_elkunet_grads_flow():
     # at least the classifier and an ELK pos_weight should get nonzero grads
     assert float(jnp.abs(grads["classifier"]["kernel"]).sum()) > 0
     assert float(jnp.abs(grads["elk1"]["pos_weight"]["kernel"]).sum()) > 0
+
+
+def test_elkunet_bf16_close_to_f32():
+    feats, coords, n = _cloud(seed=24)
+    kw = dict(num_classes=20, cr=0.125, capacities=CAPS)
+    m32 = ELKUNet(**kw)
+    m16 = ELKUNet(**kw, dtype="bfloat16")
+    st = make_sparse_tensor(feats, coords, nnz=n)
+    params = m32.init(jax.random.PRNGKey(0), st, False)
+    o32 = np.asarray(m32.apply(params, st, False))[:n]
+    o16 = np.asarray(m16.apply(params, st, False).astype(jnp.float32))[:n]
+    assert np.isfinite(o16).all()
+    # logits agree to bf16-accumulated tolerance; argmax mostly stable
+    agree = (o32.argmax(-1) == o16.argmax(-1)).mean()
+    assert agree > 0.95, agree
