@@ -33,12 +33,6 @@ class ConvPlan:
     or -1 on miss — the gather-form equivalent of the reference's
     (nbmaps, nbsizes) pair (nn/functional/conv.py:117-122).
 
-    When the taps' x-offsets form lattice runs (grouped_window_query), the
-    plan also carries `window_pos[g, j]`: the first table row of output
-    j's (dy, dz)-group window. The conv then does ONE overlapping-window
-    slice gather per group (rows pos..pos+R-1 are consecutive in the
-    sorted table) instead of one row gather per tap — 3x fewer gather
-    descriptors for 3^3 kernels. `tap_group`/`window` are static layout.
     """
 
     in_idx: jnp.ndarray        # (K, M_out) int32
@@ -46,11 +40,6 @@ class ConvPlan:
     out_nnz: jnp.ndarray       # () int32
     in_capacity: int = struct.field(pytree_node=False)
     out_capacity: int = struct.field(pytree_node=False)
-    window_pos: Any = None     # (G, M_out) int32 rows in TABLE order, or None
-    table_perm: Any = None     # (N_in,) int32 table row -> input row
-    tap_group: Tuple[int, ...] = struct.field(pytree_node=False,
-                                              default=())
-    window: int = struct.field(pytree_node=False, default=0)
 
 
 @struct.dataclass
