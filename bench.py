@@ -50,7 +50,8 @@ def main():
                                 n_raw_points=120000, split="train")
     batches = [collate_scans([ds[i]], caps[0]) for i in range(n_scans)]
 
-    model = ELKUNet(num_classes=20, cr=1.0, capacities=caps)
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    model = ELKUNet(num_classes=20, cr=1.0, capacities=caps, dtype=dtype)
 
     b0 = batches[0]
     st = make_sparse_tensor(b0["feats"], b0["coords"], nnz=b0["nnz"])
@@ -95,6 +96,7 @@ def main():
 
     print(json.dumps({
         "metric": "semantic_kitti_elkunet_infer",
+        "dtype": dtype,
         "value": round(scans_per_sec, 3),
         "unit": "scans/sec/chip",
         "vs_baseline": round(scans_per_sec / REFERENCE_SCANS_PER_SEC, 3),
