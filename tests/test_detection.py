@@ -267,3 +267,31 @@ class TestNative:
         finally:
             nat._LIB, nat._TRIED = saved
         np.testing.assert_array_equal(np.sort(keep_native), np.sort(keep_np))
+
+
+class TestTwoStage:
+    def test_bev_sampling_and_roi_head(self):
+        from link_tpu.models import two_stage as ts
+        rng = np.random.default_rng(80)
+        fmap = jnp.asarray(rng.standard_normal((16, 16, 8)).astype(np.float32))
+        boxes = jnp.asarray(np.array(
+            [[0.0, 0.0, 0.5, 2.0, 4.0, 1.5, 0, 0, 0.3],
+             [10.0, -5.0, 0.0, 1.0, 1.0, 1.0, 0, 0, 0.0]], np.float32))
+        pts = ts.box_sample_points(boxes, 5)
+        assert pts.shape == (10, 3)
+        ext = ts.BEVFeatureExtractor(pc_start=(-6, -6), voxel_size=(0.75, 0.75),
+                                     out_stride=1)
+        feats = ext.apply({}, fmap, pts, 5)
+        assert feats.shape == (2, 40)
+        head = ts.RoIHead(input_channels=40)
+        vars_ = head.init(jax.random.PRNGKey(0), feats, False)
+        iou, reg = head.apply(vars_, feats, False)
+        assert iou.shape == (2,) and reg.shape == (2, 9)
+        score = ts.second_stage_score(iou, jnp.asarray([0.9, 0.5]))
+        assert np.isfinite(np.asarray(score)).all()
+
+    def test_bilinear_exact(self):
+        from link_tpu.models.two_stage import bilinear_interpolate
+        f = jnp.arange(16.0).reshape(4, 4, 1)
+        out = bilinear_interpolate(f, jnp.asarray([1.5]), jnp.asarray([2.0]))
+        assert abs(float(out[0, 0]) - (f[2, 1, 0] + f[2, 2, 0]) / 2) < 1e-5
