@@ -1,0 +1,123 @@
+"""Eval-layer tests: nuScenes metrics, submission writer, TTA fusion."""
+
+import json
+
+import numpy as np
+
+from link_tpu.eval import nuscenes_eval as NE
+from link_tpu.eval.submission import write_submission, boxes_lidar_to_global
+from link_tpu.eval.tta_fusion import fuse_sample, rotate_predictions_back
+from link_tpu.data.det_pipeline import NUSC_CLASSES
+
+
+def _boxes(rng, n):
+    b = np.zeros((n, 9), np.float32)
+    b[:, :2] = rng.uniform(-40, 40, (n, 2))
+    b[:, 2] = rng.uniform(-2, 1, n)
+    b[:, 3:6] = rng.uniform(0.5, 4, (n, 3))
+    b[:, 6:8] = rng.normal(0, 1, (n, 2))
+    b[:, 8] = rng.uniform(-np.pi, np.pi, n)
+    return b
+
+
+def test_perfect_predictions_score_one():
+    rng = np.random.default_rng(90)
+    samples = []
+    for i in range(4):
+        gt = _boxes(rng, 12)
+        cls = rng.integers(1, 11, 12)
+        samples.append({"gt_boxes": gt, "gt_classes": cls,
+                        "pred_boxes": gt.copy(),
+                        "pred_scores": np.linspace(0.9, 0.5, 12),
+                        "pred_labels": cls - 1})
+    gt_c, pr_c, sc_c = NE.group_by_class(samples)
+    m = NE.evaluate_nuscenes(gt_c, pr_c, sc_c)
+    assert m["mean_ap"] > 0.95, m["mean_ap"]
+    assert m["nds"] > 0.95, m["nds"]
+
+
+def test_noisy_predictions_score_lower():
+    rng = np.random.default_rng(91)
+    samples = []
+    for i in range(4):
+        gt = _boxes(rng, 12)
+        cls = rng.integers(1, 11, 12)
+        pred = gt.copy()
+        pred[:, :2] += rng.normal(0, 1.5, (12, 2))   # ~1.5m center noise
+        pred[:6, :2] += 100                          # half become FPs
+        samples.append({"gt_boxes": gt, "gt_classes": cls,
+                        "pred_boxes": pred,
+                        "pred_scores": rng.uniform(0.3, 0.9, 12),
+                        "pred_labels": cls - 1})
+    gt_c, pr_c, sc_c = NE.group_by_class(samples)
+    m = NE.evaluate_nuscenes(gt_c, pr_c, sc_c)
+    assert m["mean_ap"] < 0.7
+    assert m["tp_errors"]["trans_err"] > 0.2
+
+
+def test_submission_roundtrip(tmp_path):
+    rng = np.random.default_rng(92)
+    b = _boxes(rng, 5)
+    p = write_submission(
+        [{"token": "tok0", "pred_boxes": b,
+          "pred_scores": np.linspace(0.9, 0.5, 5),
+          "pred_labels": np.array([0, 1, 3, 8, 9])}],
+        str(tmp_path / "result.json"))
+    sub = json.load(open(p))
+    assert sub["meta"]["use_lidar"] is True
+    annos = sub["results"]["tok0"]
+    assert len(annos) == 5
+    assert annos[0]["detection_name"] == "car"
+    assert annos[3]["detection_name"] == "pedestrian"
+    # moving car gets the moving attribute
+    fast = [a for a in annos
+            if np.hypot(*a["velocity"]) > 0.2 and a["detection_name"] == "car"]
+    for a in fast:
+        assert a["attribute_name"] == "vehicle.moving"
+
+
+def test_global_frame_roundtrip():
+    rng = np.random.default_rng(93)
+    b = _boxes(rng, 6)
+    theta = 0.4
+    c, s = np.cos(theta), np.sin(theta)
+    ref_from_car = np.eye(4)
+    car_from_global = np.eye(4)
+    car_from_global[:3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]]).T
+    car_from_global[:3, 3] = -car_from_global[:3, :3] @ np.array([10, 5, 0])
+    info = {"ref_from_car": ref_from_car, "car_from_global": car_from_global}
+    g = boxes_lidar_to_global(b, info)
+    # inverse: rotate back by -theta and subtract translation
+    assert not np.allclose(g[:, :2], b[:, :2])
+    np.testing.assert_allclose(
+        np.hypot(g[:, 6], g[:, 7]), np.hypot(b[:, 6], b[:, 7]), atol=1e-4)
+
+
+def test_tta_fusion_dedups_and_caps():
+    rng = np.random.default_rng(94)
+    base = _boxes(rng, 10)
+    labels = rng.integers(0, 10, 10)
+    runs = []
+    for k in range(3):
+        jitter = base.copy()
+        jitter[:, :2] += rng.normal(0, 0.05, (10, 2))
+        runs.append({"boxes": jitter, "scores": rng.uniform(0.5, 1.0, 10),
+                     "labels": labels})
+    fused = fuse_sample(runs, NUSC_CLASSES, max_boxes=500)
+    # each object should survive roughly once, not 3x
+    assert len(fused["boxes"]) <= 14
+    assert (np.diff(fused["scores"]) <= 1e-6).all()  # sorted desc
+
+
+def test_rotate_back_inverts_rotation():
+    rng = np.random.default_rng(95)
+    b = _boxes(rng, 4)
+    ang = np.deg2rad(12.5)
+    from link_tpu.ops.box_np import rotation_points_single_angle
+    fwd = b.copy()
+    fwd[:, :3] = rotation_points_single_angle(fwd[:, :3], ang, axis=2)
+    vel3 = np.concatenate([fwd[:, 6:8], np.zeros((4, 1))], 1)
+    fwd[:, 6:8] = rotation_points_single_angle(vel3, ang, axis=2)[:, :2]
+    fwd[:, 8] += ang
+    back = rotate_predictions_back(fwd, ang)
+    np.testing.assert_allclose(back, b, atol=1e-4)
