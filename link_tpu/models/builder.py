@@ -32,7 +32,8 @@ def make_dataset(cfg, split: str = "train"):
 
 
 def make_model(cfg, bn_axis: Optional[str] = None,
-               capacities: Optional[Tuple[int, ...]] = None):
+               capacities: Optional[Tuple[int, ...]] = None,
+               remat: bool = False, dtype: str = "float32"):
     m = cfg.model
     cr = m.get("cr", 1.0)
     caps = tuple(capacities or m.get("capacities", DEFAULT_CAPACITIES))
@@ -41,14 +42,14 @@ def make_model(cfg, bn_axis: Optional[str] = None,
     if name == "linkunet":
         return ELKUNet(num_classes=num_classes, cr=cr, r=m.r, s=m.s,
                        groups=m.groups, baseop=m.base_op, capacities=caps,
-                       bn_axis=bn_axis)
+                       bn_axis=bn_axis, remat=remat, dtype=dtype)
     if name == "linkencoder":
         return ELKEncoder(num_classes=num_classes, cr=cr, r=m.r, s=m.s,
                           groups=m.groups, baseop=m.base_op, capacities=caps,
-                          bn_axis=bn_axis)
+                          bn_axis=bn_axis, remat=remat, dtype=dtype)
     if name == "minkunet":
         return MinkUNet(num_classes=num_classes, cr=cr, capacities=caps,
-                        bn_axis=bn_axis)
+                        bn_axis=bn_axis, remat=remat, dtype=dtype)
     if name == "spvcnn":
         return SPVCNN(num_classes=num_classes, cr=cr,
                       pres=cfg.dataset.voxel_size, vres=cfg.dataset.voxel_size,

@@ -63,11 +63,19 @@ class ELKEncoder(nn.Module):
     aux_capacities: Optional[Tuple[int, ...]] = None
     bn_axis: Optional[str] = None
     dtype: str = "float32"  # bf16 halves MXU time + gather bytes
+    remat: bool = False      # rematerialize blocks (training memory)
 
     @nn.compact
     def __call__(self, x: SparseTensor, train: bool = False):
         import jax.numpy as _jnp
         x = x.replace(feats=x.feats.astype(_jnp.dtype(self.dtype)))
+        if self.remat:
+            _Res = nn.remat(ResidualBlock, static_argnums=(2,))
+            _Down = nn.remat(BasicConvolutionBlock, static_argnums=(2,))
+            _Elk = nn.remat(ELKBlock, static_argnums=(2, 3, 4))
+        else:
+            _Res, _Down = ResidualBlock, BasicConvolutionBlock
+            _Elk = ELKBlock
         cs = [int(self.cr * c) for c in [64] * 9]
         caps = self.capacities
         aux_caps = self.aux_capacities or caps[1:]
@@ -84,17 +92,17 @@ class ELKEncoder(nn.Module):
         st = x0
         for lvl in range(4):
             cin, cout = cs[lvl], cs[lvl + 1]
-            st_0 = BasicConvolutionBlock(
+            st_0 = _Down(
                 cin, cin, ks=2, stride=2, out_capacity=caps[lvl + 1],
                 bn_axis=ax, name=f"down{lvl+1}")(st, train)
-            y = ResidualBlock(cin, cout, bn_axis=ax,
+            y = _Res(cin, cout, bn_axis=ax,
                               name=f"stage{lvl+1}_0")(st_0, train)
-            y = ResidualBlock(cout, cout, bn_axis=ax,
+            y = _Res(cout, cout, bn_axis=ax,
                               name=f"stage{lvl+1}_1")(y, train)
             y = SparseConv3d(cout, cout, 3, name=f"stage{lvl+1}_tail")(y)
             y = SparseBatchNorm(cout, axis_name=ax,
                                 name=f"stage{lvl+1}_tail_bn")(y, train)
-            lk = ELKBlock(cin, aux_capacity=aux_caps[lvl], groups=self.groups,
+            lk = _Elk(cin, aux_capacity=aux_caps[lvl], groups=self.groups,
                           baseop=self.baseop, normalize_coords=True,
                           name=f"elk{lvl+1}")(
                               st_0, st_0.stride[0] * self.s, self.r, train)

@@ -22,11 +22,17 @@ class MinkUNet(nn.Module):
     capacities: Tuple[int, ...] = DEFAULT_CAPACITIES
     bn_axis: Optional[str] = None
     dtype: str = "float32"  # bf16 halves MXU time + gather bytes
+    remat: bool = False      # rematerialize blocks (training memory)
 
     @nn.compact
     def __call__(self, x: SparseTensor, train: bool = False):
         import jax.numpy as _jnp
         x = x.replace(feats=x.feats.astype(_jnp.dtype(self.dtype)))
+        if self.remat:
+            _Res = nn.remat(ResidualBlock, static_argnums=(2,))
+            _Down = nn.remat(BasicConvolutionBlock, static_argnums=(2,))
+        else:
+            _Res, _Down = ResidualBlock, BasicConvolutionBlock
         cs = [int(self.cr * c) for c in [32, 32, 64, 128, 256, 256, 128, 96, 96]]
         caps = self.capacities
         ax = self.bn_axis
@@ -42,12 +48,12 @@ class MinkUNet(nn.Module):
         st = x0
         for lvl in range(4):
             cin, cout = cs[lvl], cs[lvl + 1]
-            st = BasicConvolutionBlock(cin, cin, ks=2, stride=2,
+            st = _Down(cin, cin, ks=2, stride=2,
                                        out_capacity=caps[lvl + 1], bn_axis=ax,
                                        name=f"down{lvl+1}")(st, train)
-            st = ResidualBlock(cin, cout, bn_axis=ax,
+            st = _Res(cin, cout, bn_axis=ax,
                                name=f"stage{lvl+1}_0")(st, train)
-            st = ResidualBlock(cout, cout, bn_axis=ax,
+            st = _Res(cout, cout, bn_axis=ax,
                                name=f"stage{lvl+1}_1")(st, train)
             enc.append(st)
 
@@ -58,9 +64,9 @@ class MinkUNet(nn.Module):
             y = BasicDeconvolutionBlock(cin, cout, ks=2, stride=2, bn_axis=ax,
                                         name=f"up{lvl}_deconv")(y, train)
             y = cat([y, skip])
-            y = ResidualBlock(cout + skip.num_channels, cout, bn_axis=ax,
+            y = _Res(cout + skip.num_channels, cout, bn_axis=ax,
                               name=f"up{lvl}_res0")(y, train)
-            y = ResidualBlock(cout, cout, bn_axis=ax,
+            y = _Res(cout, cout, bn_axis=ax,
                               name=f"up{lvl}_res1")(y, train)
 
         return Linear(cs[8], self.num_classes, name="classifier")(y.feats)

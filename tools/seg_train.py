@@ -81,7 +81,8 @@ def main():
     caps = tuple(cfg.model.get("capacities"))
     cap0 = caps[0] * cfg.batch_size
     caps = tuple(c * cfg.batch_size for c in caps)
-    model = builder.make_model(cfg, capacities=caps)
+    model = builder.make_model(cfg, capacities=caps, remat=True,
+                               dtype=cfg.model.get("dtype", "float32"))
 
     lr = builder.make_lr_schedule(cfg, world_size=ndev)
     tx = builder.make_optimizer(cfg, lr)
