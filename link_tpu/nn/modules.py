@@ -182,3 +182,16 @@ class GlobalMaxPool(nn.Module):
         out = neg.at[seg].max(st.feats.astype(jnp.float32))
         return jnp.where(jnp.isfinite(out[:self.max_batch]),
                          out[:self.max_batch], 0.0).astype(st.feats.dtype)
+
+
+def crop(st: SparseTensor, loc_min, loc_max) -> SparseTensor:
+    """Keep voxels inside [loc_min, loc_max) (torchsparse
+    nn/modules/crop.py). Fixed-capacity form: out-of-box rows become
+    padding (coords -> sentinel), count updated."""
+    c = st.coords
+    lo = jnp.asarray(loc_min, jnp.int32)
+    hi = jnp.asarray(loc_max, jnp.int32)
+    keep = st.valid_mask() & jnp.all((c[:, :3] >= lo) & (c[:, :3] < hi), 1)
+    new_coords = jnp.where(keep[:, None], c, jnp.int32(coordlib.INVALID_COORD))
+    return st.replace(coords=new_coords,
+                      nnz=jnp.sum(keep.astype(jnp.int32)))
