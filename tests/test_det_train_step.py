@@ -1,0 +1,65 @@
+"""Detection train step (one-cycle Adam + clip + wd mask) on a tiny grid:
+two steps must run, decrease loss-ish, and keep params finite."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from link_tpu.data import det_pipeline as dp
+from link_tpu.models.voxelnet import VoxelNet
+from link_tpu.train import det_trainer as DT
+from link_tpu.train import schedules
+from link_tpu.train.trainer import TrainState
+
+
+def test_det_train_step_runs_and_updates():
+    rng = np.random.default_rng(70)
+    pr = (-12, -12, -2, 12, 12, 2)
+    samples = []
+    for i in range(2):
+        pts = rng.uniform(-11, 11, (3000, 5)).astype(np.float32)
+        pts[:, 2] = rng.uniform(-1.9, 1.9, 3000)
+        voxels, coors, nppv = dp.points_to_voxel(pts, (0.5, 0.5, 0.1), pr,
+                                                 max_points=5,
+                                                 max_voxels=4000)
+        boxes = np.array([[0.0, 2.0 * i, 0.0, 2.0, 4.0, 1.5, 0, 0, 0.1]],
+                         np.float32)
+        targets = dp.assign_label(boxes, np.array([1]), pc_range=pr,
+                                  voxel_size=(0.5, 0.5, 0.1),
+                                  out_size_factor=8, max_objs=10)
+        samples.append({"voxels": voxels, "coords_zyx": coors,
+                        "num_points": nppv, "targets": targets})
+    batch = dp.collate_det(samples, voxel_capacity=8192, max_objs=10,
+                           max_points=5)
+    # leading device axis of 1 for the DP step
+    gbatch = {"voxels": batch["voxels"][None],
+              "coords": batch["coords"][None],
+              "num_points": batch["num_points"][None],
+              "nnz": np.asarray(batch["nnz"])[None]}
+    for key in ("hm", "anno_box", "ind", "mask", "cat"):
+        gbatch[key] = [np.asarray(v)[None] for v in batch[key]]
+
+    model = VoxelNet(num_input_features=5, batch_size=2,
+                     grid_shape=(48, 48, 40),
+                     capacities=(8192, 4096, 2048, 1024))
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.asarray(batch["voxels"]),
+                           jnp.asarray(batch["coords"]),
+                           jnp.asarray(batch["num_points"]),
+                           jnp.asarray(batch["nnz"]), False)
+
+    lr_fn, mom_fn = schedules.one_cycle(1e-3, 100)
+    init_fn, step = DT.make_det_train_step(model, lr_fn, mom_fn, mesh=None)
+    state = TrainState(step=jnp.int32(0), params=variables["params"],
+                       batch_stats=variables["batch_stats"],
+                       opt_state=init_fn(variables["params"]))
+
+    losses = []
+    for _ in range(3):
+        state, metrics = step(state, gbatch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    leaves = jax.tree_util.tree_leaves(state.params)
+    assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+    assert int(state.step) == 3
