@@ -34,6 +34,8 @@ TEST_CFG = dict(
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default=None,
+                    help="reference-style py config; overrides TEST_CFG")
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--info-path", default="data/nuScenes/infos_val_10sweeps_withvelo_filter_True.pkl")
     ap.add_argument("--root-path", default="data/nuScenes")
@@ -59,6 +61,21 @@ def main():
     from link_tpu.train import trainer as T
     from link_tpu.train.checkpoint import load_checkpoint
     from link_tpu.eval import nuscenes_eval as NE
+
+    global TEST_CFG
+    if args.config:
+        from link_tpu.utils.config import load_py_config
+        cfg = load_py_config(args.config)
+        t = cfg.test_cfg
+        TEST_CFG = dict(
+            post_center_limit_range=list(t.post_center_limit_range),
+            max_per_img=t.max_per_img,
+            nms_pre_max_size=t.nms.nms_pre_max_size,
+            nms_post_max_size=t.nms.nms_post_max_size,
+            nms_iou_threshold=t.nms.nms_iou_threshold,
+            score_threshold=t.score_threshold,
+            pc_range=list(t.pc_range), voxel_size=list(t.voxel_size),
+            out_size_factor=t.out_size_factor)
 
     if args.synthetic or not os.path.exists(args.info_path):
         ds = SyntheticNuScenes(length=8, mode="train", max_voxels=160000)

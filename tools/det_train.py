@@ -24,6 +24,9 @@ os.environ.setdefault(
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default=None,
+                    help="reference-style py config (configs/nusc/...); "
+                         "sets recipe hyperparameters")
     ap.add_argument("--info-path", default="data/nuScenes/infos_train_10sweeps_withvelo_filter_True.pkl")
     ap.add_argument("--root-path", default="data/nuScenes")
     ap.add_argument("--db-info-path", default=None)
@@ -52,6 +55,20 @@ def main():
     from link_tpu.train import schedules
     from link_tpu.train.checkpoint import save_checkpoint
 
+    lr_max, moms, div, pct = 1e-3, (0.95, 0.85), 10.0, 0.4
+    wd, clip = 0.01, 35.0
+    if args.config:
+        from link_tpu.utils.config import load_py_config
+        cfg = load_py_config(args.config)
+        lr_max = cfg.lr_config.lr_max
+        moms = tuple(cfg.lr_config.moms)
+        div = cfg.lr_config.div_factor
+        pct = cfg.lr_config.pct_start
+        wd = cfg.optimizer.wd
+        clip = cfg.optimizer_config.grad_clip.max_norm
+        args.epochs = cfg.total_epochs
+        args.info_path = cfg.data.train_anno
+
     devices = jax.devices()
     ndev = len(devices)
     mesh = T.make_data_mesh(devices)
@@ -77,8 +94,11 @@ def main():
                          max(1024, cap // f) for f in (1, 2, 4, 8)))
 
     total_steps = args.epochs * max(1, len(train_ds) // (ndev * spd))
-    lr_fn, mom_fn = schedules.one_cycle(1e-3, total_steps)
-    init_fn, train_step = DT.make_det_train_step(model, lr_fn, mom_fn, mesh)
+    lr_fn, mom_fn = schedules.one_cycle(lr_max, total_steps, moms=moms,
+                                        div_factor=div, pct_start=pct)
+    init_fn, train_step = DT.make_det_train_step(model, lr_fn, mom_fn, mesh,
+                                                 weight_decay=wd,
+                                                 grad_clip=clip)
 
     def make_dev_batch(idxs):
         return dp.collate_det([train_ds[int(i)] for i in idxs], cap)
