@@ -179,31 +179,37 @@ def global_augment(points: np.ndarray, gt_boxes: np.ndarray,
                    rot_noise=(-np.pi / 4, np.pi / 4),
                    scale_noise=(0.9, 1.1), translate_std: float = 0.5):
     """Train-time global flip/rot/scale/translate (preprocess.py:118-136 via
-    prep pipeline). Boxes (N, 9) [x y z w l h vx vy r]."""
+    prep pipeline). Boxes (N, 9) [x y z w l h vx vy r], yaw in the det3d
+    convention (-devkit - pi/2) — flip/rotate updates mirror the reference
+    exactly (prep.random_flip_both preprocess.py:803-832,
+    prep.global_rotation preprocess.py:771-788)."""
     points = points.copy()
     gt_boxes = gt_boxes.copy()
 
-    # random flip along x then y (prep.random_flip_both)
+    # random flip along x then y (prep.random_flip_both:803-832)
     if rng.random() < 0.5:
         points[:, 1] = -points[:, 1]
         if len(gt_boxes):
             gt_boxes[:, 1] = -gt_boxes[:, 1]
-            gt_boxes[:, 8] = -gt_boxes[:, 8]
+            gt_boxes[:, 8] = -gt_boxes[:, 8] + np.pi
             gt_boxes[:, 7] = -gt_boxes[:, 7]
     if rng.random() < 0.5:
         points[:, 0] = -points[:, 0]
         if len(gt_boxes):
             gt_boxes[:, 0] = -gt_boxes[:, 0]
-            gt_boxes[:, 8] = -(gt_boxes[:, 8] + np.pi)
+            gt_boxes[:, 8] = -gt_boxes[:, 8] + 2 * np.pi
             gt_boxes[:, 6] = -gt_boxes[:, 6]
 
     theta = rng.uniform(*rot_noise)
     c, s = np.cos(theta), np.sin(theta)
-    rot = np.array([[c, -s], [s, c]], np.float32)
-    points[:, :2] = points[:, :2] @ rot.T
+    # reference rotation sense: points @ rot_mat_T with rot_mat_T =
+    # [[c,-s],[s,c]] (= R(-theta) on row vectors) while yaw += theta
+    # (box_np_ops.py:182-204, preprocess.py:774-787)
+    rot_mat_T = np.array([[c, -s], [s, c]], np.float32)
+    points[:, :2] = points[:, :2] @ rot_mat_T
     if len(gt_boxes):
-        gt_boxes[:, :2] = gt_boxes[:, :2] @ rot.T
-        gt_boxes[:, 6:8] = gt_boxes[:, 6:8] @ rot.T
+        gt_boxes[:, :2] = gt_boxes[:, :2] @ rot_mat_T
+        gt_boxes[:, 6:8] = gt_boxes[:, 6:8] @ rot_mat_T
         gt_boxes[:, 8] += theta
 
     scale = rng.uniform(*scale_noise)

@@ -122,7 +122,8 @@ class NuScenesDataset:
                  pc_range=(-54, -54, -5.0, 54, 54, 3.0),
                  voxel_size=(0.075, 0.075, 0.2), max_points_in_voxel=10,
                  max_voxels=(120000, 160000), out_size_factor=8,
-                 db_sampler=None, seed: int = 0):
+                 db_sampler=None, seed: int = 0,
+                 tt_rotation: float = 0.0, double_flip: bool = False):
         with open(info_path, "rb") as f:
             infos = pickle.load(f)
         if isinstance(infos, dict):
@@ -144,6 +145,8 @@ class NuScenesDataset:
         self.max_voxels = max_voxels[0] if mode == "train" else max_voxels[1]
         self.out_size_factor = out_size_factor
         self.db_sampler = db_sampler
+        self.tt_rotation = tt_rotation   # radians, val-mode TTA input rot
+        self.double_flip = double_flip   # val-mode 4-flip TTA
 
     def __len__(self):
         return len(self.infos)
@@ -184,12 +187,45 @@ class NuScenesDataset:
             sample["gt_boxes"] = boxes
             sample["gt_classes"] = classes
 
+        if self.mode != "train" and self.tt_rotation != 0.0:
+            # TTA input rotation, reference sense (preprocess.py:153-157:
+            # rotation_points_single_angle on the raw points)
+            from ..ops.box_np import rotation_points_single_angle
+            points = points.copy()
+            points[:, :3] = rotation_points_single_angle(
+                points[:, :3], self.tt_rotation, axis=2)
+
         voxels, coords_zyx, nppv = dp.points_to_voxel(
             points, self.voxel_size, self.pc_range,
             self.max_points_in_voxel, self.max_voxels)
         sample.update({"voxels": voxels, "coords_zyx": coords_zyx,
                        "num_points": nppv})
+
+        if self.mode != "train" and self.double_flip:
+            sample["flip_variants"] = make_double_flip_variants(
+                points, self.voxel_size, self.pc_range,
+                self.max_points_in_voxel, self.max_voxels)
         return sample
+
+
+def make_double_flip_variants(points, voxel_size, pc_range,
+                              max_points_in_voxel, max_voxels):
+    """4-flip TTA input construction (pipelines/test_aug.py:8-32 DoubleFlip
+    + Voxelization double_flip branch preprocess.py:219-267): returns the
+    [y-flip, x-flip, xy-flip] voxelizations (the unflipped one is the
+    sample itself). Order matches models/center_head.double_flip_fuse."""
+    variants = []
+    for fy, fx in ((True, False), (False, True), (True, True)):
+        p = points.copy()
+        if fy:
+            p[:, 1] = -p[:, 1]
+        if fx:
+            p[:, 0] = -p[:, 0]
+        voxels, coords_zyx, nppv = dp.points_to_voxel(
+            p, voxel_size, pc_range, max_points_in_voxel, max_voxels)
+        variants.append({"voxels": voxels, "coords_zyx": coords_zyx,
+                         "num_points": nppv})
+    return variants
 
 
 class SyntheticNuScenes:
@@ -199,7 +235,8 @@ class SyntheticNuScenes:
                  n_points: int = 200000,
                  pc_range=(-54, -54, -5.0, 54, 54, 3.0),
                  voxel_size=(0.075, 0.075, 0.2), max_points_in_voxel=10,
-                 max_voxels=120000, out_size_factor=8):
+                 max_voxels=120000, out_size_factor=8,
+                 tt_rotation: float = 0.0, double_flip: bool = False):
         self.length = length
         self.mode = mode
         self.seed = seed
@@ -209,6 +246,8 @@ class SyntheticNuScenes:
         self.max_points_in_voxel = max_points_in_voxel
         self.max_voxels = max_voxels
         self.out_size_factor = out_size_factor
+        self.tt_rotation = tt_rotation
+        self.double_flip = double_flip
 
     def __len__(self):
         return self.length
@@ -239,9 +278,20 @@ class SyntheticNuScenes:
                 out_size_factor=self.out_size_factor)
             sample["gt_boxes"] = boxes
             sample["gt_classes"] = classes
+        # synthetic TTA: points rotate, GT stays in the original frame
+        # (mirrors the reference val semantics where GT is never rotated
+        # and predictions are rotated back)
+        if self.tt_rotation != 0.0:
+            from ..ops.box_np import rotation_points_single_angle
+            pts[:, :3] = rotation_points_single_angle(
+                pts[:, :3], self.tt_rotation, axis=2)
         voxels, coords_zyx, nppv = dp.points_to_voxel(
             pts, self.voxel_size, self.pc_range, self.max_points_in_voxel,
             self.max_voxels)
         sample.update({"voxels": voxels, "coords_zyx": coords_zyx,
                        "num_points": nppv})
+        if self.double_flip:
+            sample["flip_variants"] = make_double_flip_variants(
+                pts, self.voxel_size, self.pc_range,
+                self.max_points_in_voxel, self.max_voxels)
         return sample

@@ -43,9 +43,22 @@ def _yaw_to_quaternion(yaw: float):
     return [float(np.cos(yaw / 2)), 0.0, 0.0, float(np.sin(yaw / 2))]
 
 
+def det3d_to_devkit_yaw(boxes: np.ndarray) -> np.ndarray:
+    """Undo the det3d yaw convention before anything devkit-facing:
+    yaw_devkit = -yaw_det3d - pi/2 (reference _second_det_to_nusc_box,
+    nusc_common.py:160-178, mirroring the forward conversion at
+    nusc_common.py:505). boxes (N, 9) -> copy with devkit yaw."""
+    out = boxes.copy()
+    out[:, 8] = -out[:, 8] - np.pi / 2
+    return out
+
+
 def boxes_lidar_to_global(boxes: np.ndarray, info: Dict) -> np.ndarray:
     """Invert the info's global->lidar chain (nusc_common.py:181-214).
-    boxes (N, 9) in lidar frame -> global frame."""
+    boxes (N, 9) in lidar frame -> global frame. Yaw must already be in
+    the standard devkit convention (use det3d_to_devkit_yaw first for
+    model outputs): the additive yaw_shift below is only valid for a
+    standard CCW yaw."""
     car_from_ref = np.linalg.inv(info["ref_from_car"])
     global_from_car = np.linalg.inv(info["car_from_global"])
     tm = global_from_car @ car_from_ref
@@ -63,13 +76,16 @@ def boxes_lidar_to_global(boxes: np.ndarray, info: Dict) -> np.ndarray:
 def write_submission(samples: List[Dict], out_path: str,
                      infos: Optional[Dict[str, Dict]] = None,
                      class_names: Sequence[str] = NUSC_CLASSES) -> str:
-    """samples: dicts with token, pred_boxes (N, 9) [x y z w l h vx vy yaw],
-    pred_scores, pred_labels (global ids). When `infos` (token -> info) is
-    given, boxes are converted to the global frame first."""
+    """samples: dicts with token, pred_boxes (N, 9) [x y z w l h vx vy yaw]
+    with yaw in the det3d convention (model-output frame), pred_scores,
+    pred_labels (global ids). Yaw is converted back to the devkit
+    convention first (nusc_common.py:164); when `infos` (token -> info) is
+    given, boxes are then converted to the global frame."""
     results = {}
     for s in samples:
         token = s["token"]
         boxes = np.asarray(s["pred_boxes"], np.float64)
+        boxes = det3d_to_devkit_yaw(boxes)
         if infos is not None and token in infos:
             boxes = boxes_lidar_to_global(boxes, infos[token])
         annos = []

@@ -1,8 +1,11 @@
 """Name-dispatched factories (reference: segmentation/core/builder.py:16-124
-make_dataset/make_model/make_criterion/make_optimizer/make_scheduler)."""
+make_dataset/make_model/make_criterion/make_optimizer/make_scheduler) plus
+the registry-driven detection builders (reference:
+detection/det3d/models/builder.py + registry.py)."""
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 from typing import Optional, Tuple
 
@@ -11,10 +14,19 @@ import optax
 from ..data.semantic_kitti import SemanticKITTI, SyntheticSemanticKITTI
 from ..train import losses, schedules
 from ..train.trainer import make_sgd
+from ..utils import registry as R
 from .linkencoder import ELKEncoder
 from .linkunet import DEFAULT_CAPACITIES, ELKUNet
 from .minkunet import MinkUNet
 from .spvcnn import SPVCNN
+
+# seg models are registered too (the reference's torchpack builder is
+# name-dispatched; the registry is the unified extension point here)
+SEG_MODELS = R.Registry("seg_model")
+for _cls in (ELKUNet, ELKEncoder, MinkUNet, SPVCNN):
+    SEG_MODELS.register_module(_cls)
+R.DATASETS.register_module(SemanticKITTI)
+R.DATASETS.register_module(SyntheticSemanticKITTI)
 
 
 def make_dataset(cfg, split: str = "train"):
@@ -54,6 +66,13 @@ def make_model(cfg, bn_axis: Optional[str] = None,
         return SPVCNN(num_classes=num_classes, cr=cr,
                       pres=cfg.dataset.voxel_size, vres=cfg.dataset.voxel_size,
                       capacities=caps, bn_axis=bn_axis)
+    # extensibility: user models registered via SEG_MODELS.register_module
+    if name in SEG_MODELS:
+        return R.build_from_cfg(
+            {"type": name, **{k: v for k, v in m.items()
+                              if k not in ("name",)}},
+            SEG_MODELS,
+            default_args={"num_classes": num_classes, "capacities": caps})
     raise NotImplementedError(name)
 
 
@@ -82,6 +101,50 @@ def make_optimizer(cfg, lr_schedule):
     if o.name == "adamw":
         return optax.adamw(lr_schedule, weight_decay=o.weight_decay)
     raise NotImplementedError(o.name)
+
+
+def register_det_builtins():
+    """Register the detection components (readers/backbones/necks/heads/
+    detectors/datasets) into the shared registries (reference:
+    det3d/models/registry.py + each module's @register_module decorator).
+    Lazy to avoid importing the full det stack for seg-only use."""
+    from ..data.nuscenes import NuScenesDataset, SyntheticNuScenes
+    from ..data.waymo import WaymoDataset
+    from . import readers as RD
+    from .center_head import CenterHead
+    from .rpn import RPN
+    from .scn import SpMiddleResNetFHDELKv3
+    from .voxelnet import VoxelNet
+
+    for reg, cls in ((R.READERS, RD.PillarFeatureNet),
+                     (R.BACKBONES, SpMiddleResNetFHDELKv3),
+                     (R.NECKS, RPN),
+                     (R.HEADS, CenterHead),
+                     (R.DETECTORS, VoxelNet),
+                     (R.DATASETS, NuScenesDataset),
+                     (R.DATASETS, SyntheticNuScenes),
+                     (R.DATASETS, WaymoDataset)):
+        if cls.__name__ not in reg:
+            reg.register_module(cls)
+
+
+def build_detector(model_cfg: dict, **default_args):
+    """Registry-driven detector construction (reference
+    det3d/models/builder.py:build_detector -> build_from_cfg). Accepts a
+    dict with 'type' plus constructor fields; unknown reference-config keys
+    (nested reader/backbone/... dicts the flax module composes internally)
+    are dropped after field filtering."""
+    register_det_builtins()
+    cfg = dict(model_cfg)
+    obj_type = cfg.pop("type", "VoxelNet")
+    cls = R.DETECTORS.get(obj_type)
+    if cls is None:
+        raise KeyError(f"{obj_type} not in detector registry")
+    fields = {f.name for f in dataclasses.fields(cls)}
+    kwargs = {k: v for k, v in cfg.items() if k in fields}
+    for k, v in default_args.items():
+        kwargs.setdefault(k, v)
+    return cls(**kwargs)
 
 
 def make_lr_schedule(cfg, world_size: int = 1):

@@ -22,15 +22,18 @@ struct P2 {
   double x, y;
 };
 
-// corners of a rotated rectangle, counter-clockwise
+// corners of a rotated rectangle, counter-clockwise template order.
+// Rotation sense matches the det3d convention used repo-wide
+// (ops/box_np.center_to_corner_box2d, reference box_np_ops.rotation_2d:
+// row-vector `corners @ [[c,-s],[s,c]]` = R(-yaw)).
 static void box_corners(const float* b, P2* c) {
   const double cx = b[0], cy = b[1], hw = b[3] * 0.5, hl = b[4] * 0.5;
   const double cs = std::cos((double)b[6]), sn = std::sin((double)b[6]);
   const double dx[4] = {-hw, hw, hw, -hw};
   const double dy[4] = {-hl, -hl, hl, hl};
   for (int i = 0; i < 4; ++i) {
-    c[i].x = cx + dx[i] * cs - dy[i] * sn;
-    c[i].y = cy + dx[i] * sn + dy[i] * cs;
+    c[i].x = cx + dx[i] * cs + dy[i] * sn;
+    c[i].y = cy - dx[i] * sn + dy[i] * cs;
   }
 }
 

@@ -16,19 +16,29 @@ def limit_period(val, offset=0.5, period=np.pi * 2):
 
 
 def rotation_points_single_angle(points, angle, axis=2):
-    """box_np_ops rotation about one axis; points (N, 3)."""
+    """box_np_ops.rotation_points_single_angle (box_np_ops.py:182-204):
+    `points @ rot_mat_T` — for a row vector this applies R(-angle), i.e. the
+    det3d rotation sense. The whole repo uses the reference's det3d yaw
+    convention (yaw_det3d = -yaw_devkit - pi/2, nusc_common.py:505), so
+    every rotation helper here must keep this sense. points (N, 3)."""
     c, s = np.cos(angle), np.sin(angle)
     if axis == 2:
-        rot = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], points.dtype)
+        rot_mat_T = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], points.dtype)
     elif axis == 1:
-        rot = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], points.dtype)
+        rot_mat_T = np.array([[c, 0, -s], [0, 1, 0], [s, 0, c]], points.dtype)
     else:
-        rot = np.array([[1, 0, 0], [0, c, -s], [0, s, c]], points.dtype)
-    return points @ rot.T
+        rot_mat_T = np.array([[1, 0, 0], [0, c, -s], [0, s, c]], points.dtype)
+    return points @ rot_mat_T
 
 
 def center_to_corner_box2d(centers, dims, angles):
-    """(N, 2), (N, 2), (N,) -> (N, 4, 2) BEV corners (counter-clockwise)."""
+    """(N, 2), (N, 2), (N,) -> (N, 4, 2) BEV corners.
+
+    Rotation sense matches the reference rotation_2d (box_np_ops.py:207-220:
+    `corners @ [[c,-s],[s,c]]` = R(-angle) on row vectors) so det3d-yaw
+    boxes produce the same physical rectangles as the reference. The corner
+    template is counter-clockwise (rotation preserves orientation, which the
+    Sutherland-Hodgman clipper below requires)."""
     corners = np.stack([
         np.stack([-dims[:, 0], -dims[:, 1]], -1),
         np.stack([dims[:, 0], -dims[:, 1]], -1),
@@ -36,7 +46,8 @@ def center_to_corner_box2d(centers, dims, angles):
         np.stack([-dims[:, 0], dims[:, 1]], -1),
     ], axis=1) / 2.0
     c, s = np.cos(angles), np.sin(angles)
-    rot = np.stack([np.stack([c, -s], -1), np.stack([s, c], -1)], axis=1)
+    # R(-angle) applied to column vectors == reference row-vector form
+    rot = np.stack([np.stack([c, s], -1), np.stack([-s, c], -1)], axis=1)
     return np.einsum("nij,nkj->nki", rot, corners) + centers[:, None, :]
 
 
@@ -119,14 +130,18 @@ def corner_overlap_bev(corners_a, corners_b, areas_a=None, areas_b=None):
 
 def points_in_rbbox(points, boxes):
     """(N, 3+) points, (M, 7+) boxes [x y z w l h (...) r] -> (N, M) bool.
-    Boxes are gravity-centered (nuScenes convention after info prep)."""
+    Boxes are gravity-centered (nuScenes convention after info prep).
+
+    Inverse of the det3d corner rotation: corners sit at c + R(-r)·template
+    (see center_to_corner_box2d), so a point is inside iff R(+r)(p - c)
+    falls within the half-extents."""
     n, m = len(points), len(boxes)
     out = np.zeros((n, m), bool)
     for j in range(m):
         x, y, z, w, l, h = boxes[j, :6]
         r = boxes[j, -1]
         p = points[:, :3] - np.array([x, y, z])
-        c, s = np.cos(-r), np.sin(-r)
+        c, s = np.cos(r), np.sin(r)
         px = p[:, 0] * c - p[:, 1] * s
         py = p[:, 0] * s + p[:, 1] * c
         out[:, j] = ((np.abs(px) <= w / 2) & (np.abs(py) <= l / 2)

@@ -137,7 +137,8 @@ def conv3d(x: SparseTensor,
         key = (x.stride, kernel_size, stride, dilation)
         plan = x.kmaps.get(key)
         if plan is None:
-            offsets = coordlib.kernel_offsets_np(kernel_size, stride=x.stride)
+            offsets = coordlib.kernel_offsets_np(kernel_size, stride=x.stride,
+                                                 dilation=dilation)
             if any(s > 1 for s in stride):
                 cap = out_capacity or x.capacity
                 out_coords, out_nnz = spops.spdownsample(

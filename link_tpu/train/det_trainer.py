@@ -35,35 +35,30 @@ def _decay_mask(params):
 
 def make_one_cycle_adam(lr_fn: Callable, mom_fn: Callable,
                         weight_decay: float = 0.01,
-                        grad_clip: float = 35.0):
+                        grad_clip: float = 35.0) -> optax.GradientTransformation:
     """Adam whose lr AND beta1 follow the OneCycle schedules, with
     decoupled wd and global-norm clip 35 (optimizer_config in
-    configs/...elkv3.py:207)."""
+    configs/...elkv3.py:207). Returns a standard GradientTransformation:
+    optax.inject_hyperparams threads the schedules through its own step
+    counter, so the chain state is built once and never re-derived."""
 
-    def tx_for_step(step):
+    @optax.inject_hyperparams
+    def _tx(b1, learning_rate):
         return optax.chain(
             optax.clip_by_global_norm(grad_clip),
-            optax.scale_by_adam(b1=mom_fn(step), b2=0.99),
+            optax.scale_by_adam(b1=b1, b2=0.99),
             optax.add_decayed_weights(weight_decay, mask=_decay_mask),
-            optax.scale_by_learning_rate(lr_fn(step)),
+            optax.scale_by_learning_rate(learning_rate),
         )
 
-    # Build a transformation whose update re-derives hyperparams per step.
-    def init(params):
-        return tx_for_step(0).init(params)
-
-    def update(grads, state, params, step):
-        return tx_for_step(step).update(grads, state, params)
-
-    return init, update
+    return _tx(b1=mom_fn, learning_rate=lr_fn)
 
 
 def make_det_train_step(model, lr_fn, mom_fn, mesh,
                         weight_decay: float = 0.01, grad_clip: float = 35.0,
                         code_weights=(1.0,) * 6 + (0.2, 0.2, 1.0, 1.0),
                         weight: float = 0.25):
-    init_fn, update_fn = make_one_cycle_adam(lr_fn, mom_fn, weight_decay,
-                                             grad_clip)
+    tx = make_one_cycle_adam(lr_fn, mom_fn, weight_decay, grad_clip)
 
     def per_replica_loss(params, batch_stats, b):
         preds, mut = model.apply(
@@ -85,16 +80,15 @@ def make_det_train_step(model, lr_fn, mom_fn, mesh,
 
         (loss, (new_bs, logs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
-        updates, new_opt = update_fn(grads, state.opt_state, state.params,
-                                     state.step)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         return (TrainState(step=state.step + 1, params=new_params,
                            batch_stats=new_bs, opt_state=new_opt),
                 {"loss": loss, **logs})
 
     if mesh is None:
-        return init_fn, jax.jit(step)
-    return init_fn, jax.jit(
+        return tx.init, jax.jit(step)
+    return tx.init, jax.jit(
         step, in_shardings=(_replicated(mesh), _data_sharded(mesh)),
         out_shardings=(_replicated(mesh), _replicated(mesh)),
         donate_argnums=0)

@@ -10,22 +10,24 @@ stats through the same axis name.
 
 from __future__ import annotations
 
-import time
-from functools import partial
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 from flax import struct
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh
 
+from ..parallel import (DATA_AXIS, data_sharded as _data_sharded,
+                        make_data_mesh, replicated as _replicated,
+                        shard_step, stack_device_batches)
 from ..sparse.tensor import make_sparse_tensor
 from . import losses as L
 from .metrics import iou_counters
 
-DATA_AXIS = "data"
+__all__ = ["DATA_AXIS", "TrainState", "make_sgd", "seg_train_step",
+           "seg_eval_step", "make_data_mesh", "shard_step",
+           "stack_device_batches", "make_dp_train_step", "make_dp_eval_step"]
 
 
 @struct.dataclass
@@ -91,42 +93,6 @@ def seg_eval_step(model, state: TrainState, batch: Dict, num_classes: int,
     if axis_name is not None:
         counters = jax.lax.psum(counters, axis_name)
     return preds, counters
-
-
-def make_data_mesh(devices=None) -> Mesh:
-    devices = devices if devices is not None else jax.devices()
-    return Mesh(np.asarray(devices), (DATA_AXIS,))
-
-
-def shard_step(step_fn: Callable, mesh: Mesh, out_state: bool = True):
-    """Wrap a per-replica step for DP execution via shard_map. Batch arrays
-    must carry a leading device axis; state is replicated.
-
-    Note: prefer `make_dp_train_step` (GSPMD vmap formulation) for big
-    models — XLA's manual-sharding pass compiles pathologically slowly on
-    graphs with many sort/scatter ops; the vmap+NamedSharding form
-    partitions trivially along the device axis."""
-
-    def sharded(state, batch):
-        local = jax.tree_util.tree_map(lambda x: x[0], batch)
-        return step_fn(state, local)
-
-    in_specs = (P(), P(DATA_AXIS))
-    out_specs = (P(), P()) if out_state else P()
-    return jax.shard_map(sharded, mesh=mesh, in_specs=in_specs,
-                         out_specs=out_specs, check_vma=False)
-
-
-def stack_device_batches(batches) -> Dict[str, np.ndarray]:
-    return {k: np.stack([b[k] for b in batches]) for k in batches[0]}
-
-
-def _replicated(mesh: Mesh):
-    return jax.sharding.NamedSharding(mesh, P())
-
-
-def _data_sharded(mesh: Mesh):
-    return jax.sharding.NamedSharding(mesh, P(DATA_AXIS))
 
 
 def make_dp_train_step(model, tx, mesh: Mesh, ignore_label: int = 0):

@@ -10,6 +10,10 @@ from link_tpu.sparse.tensor import make_sparse_tensor
 
 import oracles
 from test_sparse_core import pad_coords, pad_feats
+import pytest
+
+# full-model compiles dominate suite wall time (VERDICT r1 weak #5)
+pytestmark = pytest.mark.slow
 
 CAPS = (512, 256, 128, 64, 32)
 

@@ -17,6 +17,9 @@ from link_tpu.data.semantic_kitti import SyntheticSemanticKITTI
 from link_tpu.data.collate import collate_scans
 from link_tpu.sparse.tensor import make_sparse_tensor
 
+# full-model compiles dominate suite wall time (VERDICT r1 weak #5)
+pytestmark = pytest.mark.slow
+
 CAPS = (512, 256, 128, 64, 32)
 
 

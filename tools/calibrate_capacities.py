@@ -22,15 +22,10 @@ import numpy as np
 
 
 def level_counts(coords: np.ndarray, levels: int = 5):
-    """Unique voxel counts at strides 1, 2, 4, 8, 16 (floor-div lattice,
-    matching spdownsample's fast path)."""
-    out = []
-    c = coords.astype(np.int64)
-    for lvl in range(levels):
-        s = 1 << lvl
-        d = np.unique(np.concatenate([c[:, :3] // s, c[:, 3:]], 1), axis=0)
-        out.append(len(d))
-    return out
+    """Unique voxel counts at strides 1, 2, 4, 8, 16 (shared impl in
+    data/collate.level_unique_counts; seg_evaluate audits with it too)."""
+    from link_tpu.data.collate import level_unique_counts
+    return level_unique_counts(coords, levels)
 
 
 def main():

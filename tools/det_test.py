@@ -42,7 +42,15 @@ def main():
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--speed-test", action="store_true")
     ap.add_argument("--limit", type=int, default=0)
-    ap.add_argument("--tt-rotation", type=float, default=0.0)
+    ap.add_argument("--tt-rotation", type=float, default=0.0,
+                    help="TTA input rotation (degrees); the input cloud is "
+                         "rotated before voxelization and predictions are "
+                         "rotated back (reference preprocess.py:153-157 + "
+                         "center_head.py:490-504)")
+    ap.add_argument("--double-flip", action="store_true",
+                    help="4-flip TTA: batch [orig, y-flip, x-flip, xy-flip] "
+                         "inputs and fuse predictions at decode "
+                         "(test_aug.py DoubleFlip + center_head.py:320-416)")
     ap.add_argument("--out", default=None, help="write predictions json")
     args = ap.parse_args()
 
@@ -77,27 +85,46 @@ def main():
             pc_range=list(t.pc_range), voxel_size=list(t.voxel_size),
             out_size_factor=t.out_size_factor)
 
+    tt_rot = float(np.deg2rad(args.tt_rotation))
     if args.synthetic or not os.path.exists(args.info_path):
-        ds = SyntheticNuScenes(length=8, mode="train", max_voxels=160000)
+        ds = SyntheticNuScenes(length=8, mode="train", max_voxels=160000,
+                               tt_rotation=tt_rot,
+                               double_flip=args.double_flip)
         grid = (1440, 1440, 40)
     else:
         ds = NuScenesDataset(args.info_path, args.root_path, mode="val",
-                             max_voxels=(120000, 160000))
+                             max_voxels=(120000, 160000),
+                             tt_rotation=tt_rot,
+                             double_flip=args.double_flip)
         grid = (1440, 1440, 40)
 
-    cap = 163840
-    model = VoxelNet(num_input_features=5, batch_size=1, grid_shape=grid,
+    n_batch = 4 if args.double_flip else 1
+    cap = 163840 * n_batch
+    model = VoxelNet(num_input_features=5, batch_size=n_batch,
+                     grid_shape=grid,
                      capacities=(cap, cap // 2, cap // 4, cap // 8))
     num_classes = [len(t) for t in model.tasks]
 
+    def batch_samples(s):
+        # double-flip: group [orig, y-flip, x-flip, xy-flip] in one batch
+        # (the order double_flip_fuse expects); targets are eval-irrelevant
+        # and the flip variants have none, so strip them before collation
+        if args.double_flip:
+            keys = ("voxels", "coords_zyx", "num_points")
+            group = [{k: s[k] for k in keys}] + list(s["flip_variants"])
+        else:
+            group = [s]
+        return dp.collate_det(group, cap)
+
     s0 = ds[0]
-    b0 = dp.collate_det([s0], cap)
+    b0 = batch_samples(s0)
 
     @jax.jit
     def forward(params, bstats, voxels, coords, npts, nnz):
         preds = model.apply({"params": params, "batch_stats": bstats},
                             voxels, coords, npts, nnz, False)
-        return decode_boxes(preds, TEST_CFG, num_classes)
+        return decode_boxes(preds, TEST_CFG, num_classes,
+                            double_flip=args.double_flip)
 
     variables = model.init(jax.random.PRNGKey(0), jnp.asarray(b0["voxels"]),
                            jnp.asarray(b0["coords"]),
@@ -117,7 +144,7 @@ def main():
     samples, latencies = [], []
     for i in range(n):
         s = ds[i]
-        b = dp.collate_det([s], cap)
+        b = batch_samples(s)
         t0 = time.perf_counter()
         task_outs = forward(params, bstats, jnp.asarray(b["voxels"]),
                             jnp.asarray(b["coords"]),

@@ -52,7 +52,7 @@ def main():
     from link_tpu.models import builder
     from link_tpu.data.semantic_kitti import (SemanticKITTI,
                                               SyntheticSemanticKITTI)
-    from link_tpu.data.collate import collate_scans
+    from link_tpu.data.collate import audit_capacities, collate_scans
     from link_tpu.sparse.tensor import make_sparse_tensor
     from link_tpu.train import trainer as T
     from link_tpu.train.checkpoint import load_checkpoint
@@ -91,6 +91,19 @@ def main():
     print(f"restored {args.checkpoint} (step {int(state.step)})")
 
     miou = MeanIoU(cfg.data.num_classes, cfg.data.ignore_label)
+    overflow_totals = np.zeros(len(caps), np.int64)
+    overflow_scans = 0
+
+    def audit(batch):
+        # surface silent on-device capacity clamping (unique_coords drops
+        # voxels past each level's capacity without warning)
+        nonlocal overflow_scans
+        ov = audit_capacities(
+            np.asarray(batch["coords"][:int(batch["nnz"])]), caps)
+        if any(ov):
+            overflow_totals[:] += ov
+            overflow_scans += 1
+
     n = min(len(ds), args.limit) if args.limit else len(ds)
     for i in range(n):
         # rotation-voting TTA: average point-level softmax over N
@@ -118,6 +131,7 @@ def main():
                                  10 ** 9, False)
                 s["file_name"] = ds.files[i]
                 b = collate_scans([s], caps[0])
+                audit(b)
                 logits = forward(state.params, state.batch_stats,
                                  jnp.asarray(b["feats"]),
                                  jnp.asarray(b["coords"]),
@@ -130,6 +144,7 @@ def main():
         else:
             scan = ds[i]
             b = collate_scans([scan], caps[0])
+            audit(b)
             logits = forward(state.params, state.batch_stats,
                              jnp.asarray(b["feats"]), jnp.asarray(b["coords"]),
                              jnp.asarray(b["nnz"]))
@@ -156,6 +171,12 @@ def main():
             print(f"[{i+1}/{n}] running mIoU={miou.compute()*100:.2f}",
                   flush=True)
 
+    if overflow_scans:
+        print(f"WARNING: {overflow_scans}/{n} scans overflowed the "
+              f"capacity schedule {tuple(caps)}; dropped voxels per level: "
+              f"{overflow_totals.tolist()} — raise capacities or accept "
+              f"the clamp (predictions for dropped voxels fall back to the "
+              f"ignore class).")
     if args.split == "val":
         print(f"point-level val mIoU: {miou.compute()*100:.2f}")
         for ci, iou in enumerate(miou.per_class()):
