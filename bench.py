@@ -54,7 +54,7 @@ def main():
     model = ELKUNet(num_classes=20, cr=1.0, capacities=caps, dtype=dtype)
 
     b0 = batches[0]
-    st = make_sparse_tensor(b0["feats"], b0["coords"], nnz=b0["nnz"])
+    st = make_sparse_tensor(b0["feats"], b0["coords"], nnz=b0["nnz"], base_sorted=True)
     t0 = time.perf_counter()
     params = jax.jit(model.init, static_argnums=2)(
         jax.random.PRNGKey(0), st, False)
@@ -75,7 +75,7 @@ def main():
     def bench_loop(seed, params, feats, coords, nnzs):
         def body(i, acc):
             k = i % n_scans
-            st = make_sparse_tensor(feats[k], coords[k], nnz=nnzs[k])
+            st = make_sparse_tensor(feats[k], coords[k], nnz=nnzs[k], base_sorted=True)
             out = model.apply(params, st, False)
             return acc + jnp.sum(out) * (1.0 + i + seed) * 1e-9
 

@@ -65,7 +65,14 @@ def points_to_voxel(points: np.ndarray, voxel_size, pc_range,
     voxels[vid[sel], ranks[sel]] = pts[sel]
     nppv = np.bincount(vid[sel], minlength=n_vox).astype(np.int32)
     coords_zyx = c[first_idx[appearance[:n_vox]]][:, ::-1].astype(np.int32)
-    return voxels, coords_zyx, nppv
+
+    # Reference semantics (first max_voxels voxels / first max_points
+    # points by appearance) are decided ABOVE; the emitted row order is
+    # semantically free, so sort rows into pack-key (b, z, y, x) order —
+    # the device-side invariant (sparse/coords.py) that enables bracketed
+    # joins and windowed gathers.
+    perm = np.lexsort((coords_zyx[:, 2], coords_zyx[:, 1], coords_zyx[:, 0]))
+    return voxels[perm], coords_zyx[perm], nppv[perm]
 
 
 def limit_period(val, offset=0.5, period=np.pi * 2):

@@ -187,6 +187,23 @@ class NuScenesDataset:
             sample["gt_boxes"] = boxes
             sample["gt_classes"] = classes
 
+        if self.mode != "train" and "gt_boxes" in info:
+            # unaugmented GT passthrough for the internal devkit-free
+            # evaluator (eval/nuscenes_eval.py) — the reference instead
+            # reloads GT through the devkit at eval time (nuscenes.py:208)
+            names = np.asarray(info["gt_names"]).reshape(-1)
+            boxes = np.asarray(info["gt_boxes"], np.float32).reshape(-1, 9)
+            keep = np.isin(names, self.class_names)
+            sample["gt_boxes"] = boxes[keep]
+            sample["gt_classes"] = np.array(
+                [self.class_names.index(n) + 1 for n in names[keep]],
+                np.int32)
+            if "gt_attributes" in info:
+                sample["gt_attributes"] = np.asarray(
+                    info["gt_attributes"], object)[keep]
+            if "gt_num_pts" in info:
+                sample["gt_num_pts"] = np.asarray(info["gt_num_pts"])[keep]
+
         if self.mode != "train" and self.tt_rotation != 0.0:
             # TTA input rotation, reference sense (preprocess.py:153-157:
             # rotation_points_single_angle on the raw points)

@@ -102,10 +102,24 @@ def process_scan(points: np.ndarray, labels: np.ndarray, voxel_size: float,
     pc -= pc.min(0, keepdims=True)
 
     coords, inds, inverse = sparse_quantize(pc)
-    if train and len(inds) > num_points:
+    subsampled = train and len(inds) > num_points
+    if subsampled:
         inds = (rng or np.random.default_rng()).choice(
             inds, num_points, replace=False)
         coords = pc[inds]
+
+    # Emit voxels in pack-key order (batch, z, y, x) — the SparseTensor
+    # invariant that unlocks bracketed joins / windowed gathers on device
+    # (sparse/coords.py). Pure reordering: voxel selection is unchanged.
+    perm = np.lexsort((coords[:, 0], coords[:, 1], coords[:, 2]))
+    coords = coords[perm]
+    inds = inds[perm]
+    if not subsampled:
+        # remap point -> voxel-row indices to the new row order (the
+        # subsampled train path leaves inverse stale, like the reference)
+        rank = np.empty(len(perm), np.int32)
+        rank[perm] = np.arange(len(perm), dtype=np.int32)
+        inverse = rank[inverse]
     return {
         "feats": points[inds].astype(np.float32),
         "coords": coords.astype(np.int32),

@@ -84,6 +84,9 @@ class SpMiddleResNetFHDELKv3(nn.Module):
     capacities: Tuple[int, ...] = DET_CAPACITIES
     batch_size: int = 1
     bn_axis: Optional[str] = None
+    # collate_det emits voxels in pack-key order (det_pipeline.collate_det);
+    # set False only when feeding coords from another source
+    coords_sorted: bool = True
 
     @nn.compact
     def __call__(self, voxel_features: jnp.ndarray, coords: jnp.ndarray,
@@ -95,7 +98,8 @@ class SpMiddleResNetFHDELKv3(nn.Module):
         ax = self.bn_axis
         shape = (input_shape[0], input_shape[1], input_shape[2] + 1)
 
-        st = make_sparse_tensor(voxel_features, coords, nnz=nnz, stride=1)
+        st = make_sparse_tensor(voxel_features, coords, nnz=nnz, stride=1,
+                                base_sorted=self.coords_sorted)
         st = SparseConv3d(self.num_input_features, planes[0], 3,
                           name="conv_input")(st)
         st = SparseBatchNorm(planes[0], axis_name=ax, name="conv_input_bn",

@@ -34,11 +34,14 @@ class VoxelNet(nn.Module):
     elk: bool = True
     tasks: Tuple[Tuple[str, ...], ...] = CenterHead.tasks
     bn_axis: Optional[str] = None
+    # forward_two_stage parity (detectors/voxelnet.py:74-92): also return
+    # the neck output as the second-stage BEV feature map
+    return_bev: bool = False
 
     @nn.compact
     def __call__(self, voxels: jnp.ndarray, coords: jnp.ndarray,
                  num_points: jnp.ndarray, nnz: jnp.ndarray,
-                 train: bool = False) -> List[Dict[str, jnp.ndarray]]:
+                 train: bool = False):
         feats = voxel_feature_extractor_v3(voxels, num_points)
         bev, _ = SpMiddleResNetFHDELKv3(
             num_input_features=self.num_input_features, elk=self.elk,
@@ -46,5 +49,8 @@ class VoxelNet(nn.Module):
             bn_axis=self.bn_axis, name="backbone")(
                 feats, coords, nnz, self.grid_shape, train)
         x = RPN(bn_axis=self.bn_axis, name="neck")(bev, train)
-        return CenterHead(tasks=self.tasks, bn_axis=self.bn_axis,
-                          name="bbox_head")(x, train)
+        preds = CenterHead(tasks=self.tasks, bn_axis=self.bn_axis,
+                           name="bbox_head")(x, train)
+        if self.return_bev:
+            return preds, x
+        return preds

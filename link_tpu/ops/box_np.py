@@ -119,6 +119,34 @@ def boxes_bev_iou(boxes_a, boxes_b):
     return out
 
 
+def boxes_iou3d(boxes_a, boxes_b):
+    """3D IoU of rotated boxes (N, 7) [x y z w l h r] with z the GRAVITY
+    center (reference iou3d_nms_utils.boxes_iou3d_gpu semantics: BEV
+    rotated intersection x z-extent overlap / volume union). Returns
+    (N, M)."""
+    bev_a = boxes_a[:, [0, 1, 3, 4, 6]]
+    bev_b = boxes_b[:, [0, 1, 3, 4, 6]]
+    ca = center_to_corner_box2d(bev_a[:, :2], bev_a[:, 2:4], bev_a[:, 4])
+    cb = center_to_corner_box2d(bev_b[:, :2], bev_b[:, 2:4], bev_b[:, 4])
+    za1 = boxes_a[:, 2] - boxes_a[:, 5] / 2
+    za2 = boxes_a[:, 2] + boxes_a[:, 5] / 2
+    zb1 = boxes_b[:, 2] - boxes_b[:, 5] / 2
+    zb2 = boxes_b[:, 2] + boxes_b[:, 5] / 2
+    vol_a = np.prod(boxes_a[:, 3:6], axis=1)
+    vol_b = np.prod(boxes_b[:, 3:6], axis=1)
+    out = np.zeros((len(boxes_a), len(boxes_b)), np.float32)
+    for i in range(len(boxes_a)):
+        dz = (np.minimum(za2[i], zb2) - np.maximum(za1[i], zb1)).clip(0)
+        cand = np.flatnonzero(dz > 0)
+        for j in cand:
+            inter_bev = rotated_box_overlap(ca[i], cb[j])
+            inter = inter_bev * dz[j]
+            union = vol_a[i] + vol_b[j] - inter
+            if union > 0:
+                out[i, j] = inter / union
+    return out
+
+
 def corner_overlap_bev(corners_a, corners_b, areas_a=None, areas_b=None):
     """Pairwise intersection areas for pre-computed corners."""
     out = np.zeros((len(corners_a), len(corners_b)), np.float32)

@@ -43,7 +43,8 @@ def voxel_to_aux(x: SparseTensor, s: int, aux_capacity: int):
     counts = spops.spcount(idx_query, aux_capacity)
     aux_feats = spops.spvoxelize(x.feats, idx_query, counts)
     aux = SparseTensor(feats=aux_feats, coords=aux_coords, nnz=aux_nnz,
-                       stride=(s, s, s), cmaps=x.cmaps, kmaps=x.kmaps)
+                       stride=(s, s, s), cmaps=x.cmaps, kmaps=x.kmaps,
+                       base_sorted=x.base_sorted, coords_sorted=True)
     return aux, idx_query, counts
 
 
@@ -58,9 +59,14 @@ def aux_to_voxel(aux: SparseTensor, x: SparseTensor, idx_query: jnp.ndarray,
     (utils.py:75-80); we keep that exact formulation so numerics match.
     """
     offsets = coordlib.kernel_offsets_np((r, r, r), stride=1, dilation=1)
-    table = coordlib.build_table(aux.coords)
-    # aux coords are divided coords (quantum 1) -> grouped window join
-    nb_idx = coordlib.grouped_window_query(table, aux.coords, offsets, 1)
+    # aux coords come from unique_coords -> pack-key sorted: the table sort
+    # is skipped and the join uses the bracketed search. The feature rows
+    # here are wide (3C+1 channels, f32) so the window-form gather would
+    # fall off the descriptor-rate plateau (see sparse/conv.py) — the sum
+    # stays in per-tap gather form.
+    table = coordlib.build_table(aux.coords, assume_sorted=True)
+    nb_idx, _, _ = coordlib.grouped_window_query(
+        table, aux.coords, offsets, 1, queries_sorted=True)
     nb_idx = nb_idx.T                                           # (M_aux, r^3)
 
     f = jnp.concatenate(
@@ -91,7 +97,11 @@ def upsample_voxel(x: SparseTensor, ref_x: SparseTensor) -> SparseTensor:
                        c[:, :3] // jnp.int32(s)),
              c[:, 3:]], axis=1)
 
-    table = coordlib.build_table(_div(x.coords))
+    # coarse coords are multiples of s, so //s is strictly monotone per
+    # component and pack-key order survives; the FINE side's division is
+    # non-strict (floor of non-lattice values) and can invert lex order
+    # across z/y boundaries, so the query side stays unbracketed.
+    table = coordlib.build_table(_div(x.coords), assume_sorted=x.is_sorted)
     idx = table.query(_div(ref_x.coords))                       # (N_fine,)
     n = x.feats.shape[0]
     safe = jnp.where(idx >= 0, idx, n)
@@ -99,4 +109,6 @@ def upsample_voxel(x: SparseTensor, ref_x: SparseTensor) -> SparseTensor:
         [x.feats, jnp.zeros((1, x.feats.shape[1]), x.feats.dtype)], axis=0)
     return SparseTensor(feats=feats_ext[safe], coords=ref_x.coords,
                         nnz=ref_x.nnz, stride=ref_x.stride,
-                        cmaps=ref_x.cmaps, kmaps=ref_x.kmaps)
+                        cmaps=ref_x.cmaps, kmaps=ref_x.kmaps,
+                        base_sorted=ref_x.base_sorted,
+                        coords_sorted=ref_x.coords_sorted)

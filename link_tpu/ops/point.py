@@ -66,7 +66,8 @@ def initial_voxelize(pt: PointTensor, init_res: float, after_res: float,
     out_coords, idx_query, out_nnz = coordlib.unique_coords(ic, capacity)
     counts = spops.spcount(idx_query, capacity)
     feats = spops.spvoxelize(pt.feats, idx_query, counts)
-    st = SparseTensor(feats=feats, coords=out_coords, nnz=out_nnz, stride=(1, 1, 1))
+    st = SparseTensor(feats=feats, coords=out_coords, nnz=out_nnz,
+                      stride=(1, 1, 1), base_sorted=True, coords_sorted=True)
     st.cmaps[st.stride] = (out_coords, out_nnz)
     pt.caches[("idx", (1, 1, 1))] = idx_query
     pt.caches[("counts", (1, 1, 1))] = counts

@@ -36,28 +36,107 @@ def build_conv_plan(in_coords: jnp.ndarray,
                     out_nnz: jnp.ndarray,
                     offsets,
                     in_capacity: int,
-                    quantum: int = 0) -> ConvPlan:
+                    quantum: int = 0,
+                    in_sorted: bool = False,
+                    out_sorted: bool = False) -> ConvPlan:
     """Build the kernel map: for each output row and tap, the input row at
     out_coord + offset (or -1). Mirrors conv.py:103-122 (offsets -> hash ->
     query) with an exact sorted-table join instead of hashing.
 
     When the taps' x-offsets form quantum-step runs (every LinK kernel),
     the join uses one binary search per (dy, dz) group plus consecutive-row
-    compares (grouped_window_query) — ~3x less search traffic."""
-    table = coordlib.build_table(in_coords)
+    compares (grouped_window_query) — ~3x less search traffic.
+    `in_sorted` (input rows in pack-key order) skips the table sort and
+    produces the window-form plan the apply uses for per-GROUP gathers;
+    `out_sorted` enables the coarse+bracket search (~2x fewer rounds)."""
+    table = coordlib.build_table(in_coords, assume_sorted=in_sorted)
     offs_np = np.asarray(offsets)
     if quantum and coordlib.can_group_offsets(offs_np, quantum):
-        in_idx = coordlib.grouped_window_query(table, out_coords, offs_np,
-                                               quantum)
-    else:
-        offs = jnp.asarray(offs_np, jnp.int32)                 # (K, 3)
-        qxyz = out_coords[None, :, :3] + offs[:, None, :]      # (K, M, 3)
-        qb = jnp.broadcast_to(out_coords[None, :, 3:],
-                              (offs.shape[0],) + out_coords[:, 3:].shape)
-        queries = jnp.concatenate([qxyz, qb], axis=-1)         # (K, M, 4)
-        in_idx = table.query(queries)                          # (K, M)
+        in_idx, base_pos, slot = coordlib.grouped_window_query(
+            table, out_coords, offs_np, quantum,
+            queries_sorted=out_sorted, identity_perm=in_sorted)
+        groups = None
+        if base_pos is not None:
+            groups = tuple(tuple(t for _, t in taps)
+                           for _, taps in coordlib.offset_groups(offs_np))
+        return ConvPlan(in_idx=in_idx, out_coords=out_coords,
+                        out_nnz=out_nnz, in_capacity=in_capacity,
+                        out_capacity=out_coords.shape[0],
+                        base_pos=base_pos, slot=slot, groups=groups)
+    offs = jnp.asarray(offs_np, jnp.int32)                 # (K, 3)
+    qxyz = out_coords[None, :, :3] + offs[:, None, :]      # (K, M, 3)
+    qb = jnp.broadcast_to(out_coords[None, :, 3:],
+                          (offs.shape[0],) + out_coords[:, 3:].shape)
+    queries = jnp.concatenate([qxyz, qb], axis=-1)         # (K, M, 4)
+    in_idx = table.query(queries)                          # (K, M)
     return ConvPlan(in_idx=in_idx, out_coords=out_coords, out_nnz=out_nnz,
                     in_capacity=in_capacity, out_capacity=out_coords.shape[0])
+
+
+def _window_table(feats: jnp.ndarray, g: int) -> jnp.ndarray:
+    """Shifted-concat view: row p of the result holds input rows p..p+g-1
+    side by side, so one row gather fetches a whole g-row window. Rows past
+    the end read zeros. Costs one sequential (bandwidth-bound) copy — the
+    gathers it replaces are descriptor-bound, ~40x more expensive per row
+    (PLAN.md measurements)."""
+    n, c = feats.shape
+    pad = jnp.zeros((g, c), feats.dtype)
+    ext = jnp.concatenate([feats, pad], axis=0)            # (N+G, C)
+    return jnp.concatenate([ext[j:j + n] for j in range(g)], axis=1)
+
+
+def _apply_windowed(feats: jnp.ndarray, weight: jnp.ndarray,
+                    plan: ConvPlan) -> jnp.ndarray:
+    """Forward conv in window form: one (G*C)-wide row gather per (dy, dz)
+    tap group, VPU masked-select of each tap's slot, MXU matmuls.
+    Equivalent to the per-tap gather (misses select zero) at ~1/G the
+    gather descriptors. Selects are written as where/add chains — plain
+    elementwise ops XLA fuses into the matmul operands (an einsum over the
+    slot axis compiles to per-row micro-matmuls and giant intermediates)."""
+    g = plan.window
+    m = plan.out_capacity
+    c = feats.shape[1]
+    co = weight.shape[2]
+    featsw = _window_table(feats, g)                       # (N, G*C)
+    acc = jnp.zeros((m, co), jnp.float32)
+    for gi, tap_ids in enumerate(plan.groups):
+        win = featsw[plan.base_pos[gi]]                    # one row gather
+        for t in tap_ids:
+            sl = plan.slot[t]                              # (M,) int8
+            x = jnp.zeros((m, c), feats.dtype)
+            for j in range(g):
+                x = x + jnp.where((sl == j)[:, None],
+                                  win[:, j * c:(j + 1) * c], 0)
+            acc = acc + jnp.dot(x, weight[t].astype(feats.dtype),
+                                preferred_element_type=jnp.float32)
+    return acc.astype(feats.dtype)
+
+
+def _apply_windowed_transposed(feats: jnp.ndarray, weight: jnp.ndarray,
+                               plan: ConvPlan) -> jnp.ndarray:
+    """Transposed conv in window form: per-group contributions land in a
+    (N, G*Co) window buffer with ONE scatter-add per group (vs one per
+    tap), then fold the G diagonals back: out[p+j] += buf[p, j]."""
+    g = plan.window
+    m = plan.out_capacity
+    n = plan.in_capacity
+    co = weight.shape[2]
+    buf = jnp.zeros((n, g * co), jnp.float32)
+    for gi, tap_ids in enumerate(plan.groups):
+        per_slot = jnp.zeros((m, g * co), jnp.float32)
+        for t in tap_ids:
+            contrib = jnp.dot(feats, weight[t].astype(feats.dtype),
+                              preferred_element_type=jnp.float32)  # (M, Co)
+            sl = plan.slot[t]
+            for j in range(g):
+                mask = (sl == j)[:, None]
+                per_slot = per_slot.at[:, j * co:(j + 1) * co].add(
+                    jnp.where(mask, contrib, 0.0))
+        buf = buf.at[plan.base_pos[gi]].add(per_slot)
+    out = buf[:, :co]
+    for j in range(1, g):
+        out = out.at[j:].add(buf[:n - j, j * co:(j + 1) * co])
+    return out.astype(feats.dtype)
 
 
 def apply_conv_plan(feats: jnp.ndarray, weight: jnp.ndarray, plan: ConvPlan,
@@ -67,6 +146,18 @@ def apply_conv_plan(feats: jnp.ndarray, weight: jnp.ndarray, plan: ConvPlan,
     k = weight.shape[0]
     ci = weight.shape[1]
     co = weight.shape[2]
+
+    # The window apply only wins while its (G*C)-wide gather rows stay on
+    # the descriptor-rate plateau (~256 B/row, PLAN.md): beyond that,
+    # random wide reads drop to ~30 GB/s and the per-tap scan is faster
+    # (measured on-chip: 85k x 64ch bf16 windowed 9.7 ms vs scan 7.9 ms,
+    # tools/microbench_conv.py).
+    window_bytes = (plan.window * feats.shape[1] * feats.dtype.itemsize
+                    if plan.groups else 1 << 30)
+    if plan.base_pos is not None and window_bytes <= 256:
+        if transposed:
+            return _apply_windowed_transposed(feats, weight, plan)
+        return _apply_windowed(feats, weight, plan)
 
     if not transposed:
         n_in = feats.shape[0]
@@ -135,11 +226,15 @@ def conv3d(x: SparseTensor,
 
     if not transposed:
         key = (x.stride, kernel_size, stride, dilation)
+        strided = any(s > 1 for s in stride)
+        # strided outputs come from unique_coords (sorted); submanifold
+        # outputs keep the input's order
+        out_sorted = True if strided else x.coords_sorted
         plan = x.kmaps.get(key)
         if plan is None:
             offsets = coordlib.kernel_offsets_np(kernel_size, stride=x.stride,
                                                  dilation=dilation)
-            if any(s > 1 for s in stride):
+            if strided:
                 cap = out_capacity or x.capacity
                 out_coords, out_nnz = spops.spdownsample(
                     x.coords, cap, stride, kernel_size, x.stride)
@@ -147,7 +242,9 @@ def conv3d(x: SparseTensor,
                 out_coords, out_nnz = x.coords, x.nnz
             plan = build_conv_plan(x.coords, out_coords, out_nnz, offsets,
                                    in_capacity=x.capacity,
-                                   quantum=x.stride[0] * dilation[0])
+                                   quantum=x.stride[0] * dilation[0],
+                                   in_sorted=x.coords_sorted,
+                                   out_sorted=out_sorted)
             x.kmaps[key] = plan
 
         feats = apply_conv_plan(x.feats, weight, plan, transposed=False)
@@ -156,7 +253,9 @@ def conv3d(x: SparseTensor,
         new_stride = tuple(x.stride[k] * stride[k] for k in range(3))
         out = SparseTensor(feats=feats, coords=plan.out_coords,
                            nnz=plan.out_nnz, stride=new_stride,
-                           cmaps=x.cmaps, kmaps=x.kmaps)
+                           cmaps=x.cmaps, kmaps=x.kmaps,
+                           base_sorted=x.base_sorted,
+                           coords_sorted=out_sorted)
     else:
         tensor_stride = tuple(x.stride[k] // stride[k] for k in range(3))
         plan = x.kmaps[(tensor_stride, kernel_size, stride, dilation)]
@@ -164,8 +263,13 @@ def conv3d(x: SparseTensor,
         if bias is not None:
             feats = feats + bias
         fine_coords, fine_nnz = x.cmaps[tensor_stride]
+        # restored map: strided-conv products are sorted (unique_coords);
+        # the creation-stride map carries the creation flag
+        fine_sorted = (tensor_stride != (1, 1, 1)) or x.base_sorted
         out = SparseTensor(feats=feats, coords=fine_coords, nnz=fine_nnz,
-                           stride=tensor_stride, cmaps=x.cmaps, kmaps=x.kmaps)
+                           stride=tensor_stride, cmaps=x.cmaps,
+                           kmaps=x.kmaps, base_sorted=x.base_sorted,
+                           coords_sorted=fine_sorted)
 
     out.cmaps.setdefault(out.stride, (out.coords, out.nnz))
     return out

@@ -108,8 +108,9 @@ def lower_bound(table_hi: jnp.ndarray, table_lo: jnp.ndarray,
         t_hi = table_hi[mid_c]
         t_lo = table_lo[mid_c]
         less = (t_hi < q_hi) | ((t_hi == q_hi) & (t_lo < q_lo))
-        lo_i = jnp.where(less, mid + 1, lo_i)
-        hi_i = jnp.where(less, hi_i, mid)
+        open_ = hi_i > lo_i     # keep converged intervals fixed
+        lo_i = jnp.where(less & open_, mid + 1, lo_i)
+        hi_i = jnp.where(less, hi_i, jnp.minimum(hi_i, mid))
         return lo_i, hi_i
 
     lo_idx, _ = jax.lax.fori_loop(0, steps, body, (lo_idx, hi_idx))
@@ -136,12 +137,74 @@ def lower_bound_rows(rows: jnp.ndarray, q_hi: jnp.ndarray,
         r = rows[mid_c]                                   # (..., W) one gather
         t_hi, t_lo = r[..., 0], r[..., 1]
         less = (t_hi < q_hi) | ((t_hi == q_hi) & (t_lo < q_lo))
-        lo_i = jnp.where(less, mid + 1, lo_i)
-        hi_i = jnp.where(less, hi_i, mid)
+        open_ = hi_i > lo_i     # keep converged intervals fixed
+        lo_i = jnp.where(less & open_, mid + 1, lo_i)
+        hi_i = jnp.where(less, hi_i, jnp.minimum(hi_i, mid))
         return lo_i, hi_i
 
     lo_idx, _ = jax.lax.fori_loop(0, steps, body, (lo_idx, hi_idx))
     return lo_idx
+
+
+# coarse-sample spacing for the bracketed search; tuned on-chip via
+# tools/microbench_conv.py --sample
+BRACKET_SAMPLE = 32
+
+
+def lower_bound_rows_bracketed(rows: jnp.ndarray, q_hi: jnp.ndarray,
+                               q_lo: jnp.ndarray, sample: int = None
+                               ) -> jnp.ndarray:
+    """Lower bound for queries SORTED ascending along the last axis.
+
+    Exploits monotonicity of lower-bound positions over sorted queries:
+    every `sample`-th query is searched exactly (full log2(N) rounds on
+    M/sample queries — negligible), then all queries refine inside the
+    [coarse_k, coarse_{k+1}] bracket. Typical bracket width is ~sample, so
+    the per-query rounds drop from log2(N)≈17 to ~log2(2·sample)≈7-8 —
+    roughly halving the join's gather traffic (PLAN.md roadmap item 2a/2b).
+
+    Correct for any data: the refine loop runs until every bracket closes
+    (lax.while_loop), so pathological density spikes cost extra rounds,
+    never wrong answers.
+    """
+    if sample is None:
+        sample = BRACKET_SAMPLE
+    n = rows.shape[0]
+    m = q_hi.shape[-1]
+    lead = q_hi.shape[:-1]
+
+    # coarse exact pass on every sample-th query (plus the last column so
+    # the final bracket is tight)
+    c_hi = q_hi[..., ::sample]
+    c_lo = q_lo[..., ::sample]
+    coarse = lower_bound_rows(rows, c_hi, c_lo)              # (..., nseg)
+
+    seg = jnp.arange(m, dtype=jnp.int32) // sample           # (M,)
+    lo_i = jnp.broadcast_to(coarse[..., seg], lead + (m,))
+    upper = jnp.concatenate(
+        [coarse[..., 1:], jnp.full(lead + (1,), n, jnp.int32)], axis=-1)
+    hi_i = jnp.broadcast_to(upper[..., seg], lead + (m,))
+    # queries at the sampled columns are already exact
+    exact = (jnp.arange(m, dtype=jnp.int32) % sample) == 0
+    hi_i = jnp.where(exact, lo_i, hi_i)
+
+    def cond(carry):
+        lo_c, hi_c = carry
+        return jnp.any(hi_c > lo_c)
+
+    def body(carry):
+        lo_c, hi_c = carry
+        mid = (lo_c + hi_c) >> 1
+        mid_c = jnp.minimum(mid, n - 1)
+        r = rows[mid_c]
+        t_hi, t_lo = r[..., 0], r[..., 1]
+        less = (t_hi < q_hi) | ((t_hi == q_hi) & (t_lo < q_lo))
+        lo_c = jnp.where(less & (hi_c > lo_c), mid + 1, lo_c)
+        hi_c = jnp.where(less, hi_c, jnp.minimum(hi_c, mid))
+        return lo_c, hi_c
+
+    lo_i, _ = jax.lax.while_loop(cond, body, (lo_i, hi_i))
+    return lo_i
 
 
 class CoordTable:
@@ -174,13 +237,19 @@ class CoordTable:
     def lower_bound(self, q_hi, q_lo):
         return lower_bound_rows(self.rows, q_hi, q_lo)
 
-    def query(self, coords: jnp.ndarray) -> jnp.ndarray:
+    def query(self, coords: jnp.ndarray,
+              queries_sorted: bool = False) -> jnp.ndarray:
         """Return index of each query coord in the original coordinate rows,
-        or -1 when absent (mirrors sphashquery's miss convention)."""
+        or -1 when absent (mirrors sphashquery's miss convention).
+        `queries_sorted` (coords in pack-key order along the row axis)
+        switches to the coarse+bracket search."""
         shape = coords.shape[:-1]
         flat = coords.reshape(-1, coords.shape[-1])
         q_hi, q_lo = pack_coords(flat)
-        pos = self.lower_bound(q_hi, q_lo)
+        if queries_sorted:
+            pos = lower_bound_rows_bracketed(self.rows, q_hi, q_lo)
+        else:
+            pos = self.lower_bound(q_hi, q_lo)
         pos_c = jnp.minimum(pos, self.rows.shape[0] - 1)
         r = self.rows[pos_c]
         hit = (r[:, 0] == q_hi) & (r[:, 1] == q_lo) & key_is_valid(q_hi)
@@ -188,13 +257,18 @@ class CoordTable:
         return idx.reshape(shape)
 
 
-def build_table(coords: jnp.ndarray) -> CoordTable:
+def build_table(coords: jnp.ndarray, assume_sorted: bool = False) -> CoordTable:
+    """`assume_sorted=True` skips the sort (perm = identity) for coords
+    already in pack-key order — the invariant the host collate functions
+    and unique_coords/spdownsample maintain. Saves one full-key sort
+    (~2 ms at 85k rows) per table build."""
     hi, lo = pack_coords(coords)
-    perm = jnp.arange(coords.shape[0], dtype=jnp.int32)
-    s_hi, s_lo, s_perm = sort_by_key(hi, lo, perm)
     n = coords.shape[0]
+    perm = jnp.arange(n, dtype=jnp.int32)
+    if not assume_sorted:
+        hi, lo, perm = sort_by_key(hi, lo, perm)
     rows = jnp.zeros((n, CoordTable.ROW_W), jnp.int32)
-    rows = rows.at[:, 0].set(s_hi).at[:, 1].set(s_lo).at[:, 2].set(s_perm)
+    rows = rows.at[:, 0].set(hi).at[:, 1].set(lo).at[:, 2].set(perm)
     return CoordTable(rows)
 
 
@@ -242,8 +316,25 @@ def unique_coords(coords: jnp.ndarray, out_capacity: int):
     return out_coords, inverse, out_nnz
 
 
+def offset_groups(offsets: np.ndarray):
+    """Group tap offsets by (dy, dz); members ordered by x. Returns
+    [((ox0, oy, oz), [(ox, tap_id), ...]), ...] — static metadata."""
+    offs = np.asarray(offsets)
+    groups = {}
+    for t in range(offs.shape[0]):
+        groups.setdefault((int(offs[t, 1]), int(offs[t, 2])), []).append(
+            (int(offs[t, 0]), t))
+    glist = []
+    for (oy, oz), taps in groups.items():
+        taps = sorted(taps)
+        glist.append(((taps[0][0], oy, oz), taps))
+    return glist
+
+
 def grouped_window_query(table: "CoordTable", base_coords: jnp.ndarray,
-                         offsets: np.ndarray, quantum: int) -> jnp.ndarray:
+                         offsets: np.ndarray, quantum: int,
+                         queries_sorted: bool = False,
+                         identity_perm: bool = False):
     """Kernel-window join exploiting sorted-key adjacency.
 
     For each base coordinate and each tap offset (K, 3), find the table row
@@ -254,21 +345,27 @@ def grouped_window_query(table: "CoordTable", base_coords: jnp.ndarray,
     quantum, so the G candidate keys can only occupy the G rows following
     the lower bound. Cuts binary-search row traffic ~3x for 3^3 kernels.
 
-    Returns in_idx (K, M) int32 (-1 miss). Requires every group to be such
-    a run — callers check `can_group_offsets` first.
+    `queries_sorted=True` (base_coords in pack-key order) switches the
+    search to the coarse+bracket form (lower_bound_rows_bracketed), ~2x
+    fewer gather rounds. `identity_perm=True` (table built with
+    assume_sorted over the same row order as the caller's feature rows)
+    additionally returns the window-plan arrays that let the conv apply
+    gather one G-wide row per GROUP instead of one row per tap:
+
+    Returns (in_idx, base_pos, slot):
+      in_idx:   (K, M) int32 table->original row per tap, -1 miss;
+      base_pos: (Gg, M) int32 lower-bound row per group (None unless
+                identity_perm);
+      slot:     (K, M) int8 window slot of each tap's hit relative to its
+                group's base_pos, -1 miss (None unless identity_perm).
+
+    Requires every group to be a quantum run — callers check
+    `can_group_offsets` first.
     """
     offs = np.asarray(offsets)
     k = offs.shape[0]
     m = base_coords.shape[0]
-
-    groups = {}
-    for t in range(k):
-        groups.setdefault((int(offs[t, 1]), int(offs[t, 2])), []).append(
-            (int(offs[t, 0]), t))
-    glist = []
-    for (oy, oz), taps in groups.items():
-        taps = sorted(taps)
-        glist.append(((taps[0][0], oy, oz), taps))
+    glist = offset_groups(offs)
     g = len(glist)
     gmax = max(len(taps) for _, taps in glist)
 
@@ -281,30 +378,51 @@ def grouped_window_query(table: "CoordTable", base_coords: jnp.ndarray,
         q_all.append(jnp.concatenate([base_xyz + off, b_col], axis=1))
     q_all = jnp.stack(q_all)                       # (G, M, 4)
     q_hi, q_lo = pack_coords(q_all.reshape(-1, 4))
-    pos = table.lower_bound(q_hi, q_lo).reshape(g, m)
     q_hi = q_hi.reshape(g, m)
     q_lo = q_lo.reshape(g, m)
+    if queries_sorted:
+        pos = lower_bound_rows_bracketed(table.rows, q_hi, q_lo)
+    else:
+        pos = table.lower_bound(q_hi.reshape(-1),
+                                q_lo.reshape(-1)).reshape(g, m)
 
     n = table.rows.shape[0]
+    # shifted-concat key window: one (M, 3*gmax) gather per group replaces
+    # gmax (M, 8) gathers — window row j holds [hi, lo, perm] of table row
+    # base+j (padded past the end with never-matching sentinels)
+    pad = jnp.full((gmax, 3), INT32_MAX, jnp.int32)
+    keys3 = jnp.concatenate([table.rows[:, :3], pad], axis=0)   # (N+gmax, 3)
+    keysW = jnp.concatenate([keys3[j:j + n] for j in range(gmax)],
+                            axis=1)                             # (N, 3*gmax)
+
     in_idx = [None] * k
+    slot = [None] * k if identity_perm else None
+    base_list = []
     for gi, ((ox0, oy, oz), taps) in enumerate(glist):
         gsize = len(taps)
-        rows = []
-        for r in range(gsize):
-            rows.append(table.rows[jnp.minimum(pos[gi] + r, n - 1)])
-        rows = jnp.stack(rows)                     # (gsize, M, W)
+        base = jnp.minimum(pos[gi], n - 1)
+        base_list.append(base)
+        win = keysW[base]                           # (M, 3*gmax)
         for ti, (ox, t) in enumerate(taps):
             dx = ox - ox0
             t_hi = q_hi[gi]
             t_lo = q_lo[gi] + dx                   # x lives in lo's low bits
             valid_q = t_hi != INT32_MAX
             res = jnp.full((m,), -1, jnp.int32)
+            sl = jnp.full((m,), -1, jnp.int8) if identity_perm else None
             for r in range(gsize):
-                hit = ((rows[r][:, 0] == t_hi) & (rows[r][:, 1] == t_lo)
+                hit = ((win[:, 3 * r] == t_hi) & (win[:, 3 * r + 1] == t_lo)
                        & valid_q)
-                res = jnp.where(hit, rows[r][:, 2], res)
+                res = jnp.where(hit, win[:, 3 * r + 2], res)
+                if identity_perm:
+                    sl = jnp.where(hit, jnp.int8(r), sl)
             in_idx[t] = res
-    return jnp.stack(in_idx)
+            if identity_perm:
+                slot[t] = sl
+    in_idx = jnp.stack(in_idx)
+    if identity_perm:
+        return in_idx, jnp.stack(base_list), jnp.stack(slot)
+    return in_idx, None, None
 
 
 def can_group_offsets(offsets: np.ndarray, quantum: int) -> bool:

@@ -70,22 +70,35 @@ def spconv_downsample(coords: jnp.ndarray, kernel_size, stride, padding,
 
 def build_spconv_plan(in_coords: jnp.ndarray, out_coords: jnp.ndarray,
                       out_nnz, kernel_size, stride, padding,
-                      in_capacity: int) -> ConvPlan:
-    """Kernel map: input for output j, tap t is i = j*s - p + t."""
+                      in_capacity: int, in_sorted: bool = False,
+                      out_sorted: bool = False) -> ConvPlan:
+    """Kernel map: input for output j, tap t is i = j*s - p + t.
+    Sortedness flags as in conv.build_conv_plan: `in_sorted` skips the
+    table sort and yields the window-form plan, `out_sorted` enables the
+    bracketed search."""
     taps = _tap_offsets(kernel_size)
     s = np.asarray(stride, np.int32)
     p = np.asarray(padding, np.int32)
-    table = coordlib.build_table(in_coords)
+    table = coordlib.build_table(in_coords, assume_sorted=in_sorted)
     eff_offs = taps - p[None, :]
     if (s == 1).all() and coordlib.can_group_offsets(eff_offs, 1):
-        in_idx = coordlib.grouped_window_query(table, out_coords, eff_offs, 1)
-    else:
-        base = out_coords[None, :, :3] * jnp.asarray(s)[None, None, :]
-        q = base + jnp.asarray(eff_offs)[:, None, :]
-        qb = jnp.broadcast_to(out_coords[None, :, 3:],
-                              (taps.shape[0],) + out_coords[:, 3:].shape)
-        q4 = jnp.concatenate([q, qb], axis=-1)
-        in_idx = table.query(q4)
+        in_idx, base_pos, slot = coordlib.grouped_window_query(
+            table, out_coords, eff_offs, 1,
+            queries_sorted=out_sorted, identity_perm=in_sorted)
+        groups = None
+        if base_pos is not None:
+            groups = tuple(tuple(t for _, t in g)
+                           for _, g in coordlib.offset_groups(eff_offs))
+        return ConvPlan(in_idx=in_idx, out_coords=out_coords,
+                        out_nnz=out_nnz, in_capacity=in_capacity,
+                        out_capacity=out_coords.shape[0],
+                        base_pos=base_pos, slot=slot, groups=groups)
+    base = out_coords[None, :, :3] * jnp.asarray(s)[None, None, :]
+    q = base + jnp.asarray(eff_offs)[:, None, :]
+    qb = jnp.broadcast_to(out_coords[None, :, 3:],
+                          (taps.shape[0],) + out_coords[:, 3:].shape)
+    q4 = jnp.concatenate([q, qb], axis=-1)
+    in_idx = table.query(q4)
     return ConvPlan(in_idx=in_idx, out_coords=out_coords, out_nnz=out_nnz,
                     in_capacity=in_capacity, out_capacity=out_coords.shape[0])
 
@@ -111,15 +124,18 @@ def spconv3d(x: SparseTensor, weight: jnp.ndarray,
         out_coords, out_nnz = spconv_downsample(x.coords, ks, st, pd,
                                                 out_shape, cap)
         plan = build_spconv_plan(x.coords, out_coords, out_nnz, ks, st, pd,
-                                 in_capacity=x.capacity)
+                                 in_capacity=x.capacity,
+                                 in_sorted=x.is_sorted, out_sorted=True)
         x.kmaps[key] = plan
     feats = apply_conv_plan(x.feats, weight, plan)
     if bias is not None:
         feats = feats + bias
     # Fresh caches: every spconv level is a new lattice at stride 1, so
-    # submanifold kmap keys would collide across levels if shared.
+    # submanifold kmap keys would collide across levels if shared. Coords
+    # come from unique_coords -> pack-key sorted.
     out = SparseTensor(feats=feats, coords=plan.out_coords, nnz=plan.out_nnz,
-                       stride=(1, 1, 1), cmaps={}, kmaps={})
+                       stride=(1, 1, 1), cmaps={}, kmaps={},
+                       base_sorted=True, coords_sorted=True)
     out.cmaps[out.stride] = (out.coords, out.nnz)
     return out, out_shape
 

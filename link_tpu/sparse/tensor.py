@@ -33,6 +33,13 @@ class ConvPlan:
     or -1 on miss — the gather-form equivalent of the reference's
     (nbmaps, nbsizes) pair (nn/functional/conv.py:117-122).
 
+    When the input rows are in pack-key order, the plan additionally
+    carries the *window form*: taps grouped by (dy, dz) hit G consecutive
+    table rows starting at `base_pos` (sorted-key adjacency), so the conv
+    apply gathers ONE (G*C)-wide row per group instead of one row per tap
+    — a ~3x cut in gather descriptors, the measured bottleneck (PLAN.md).
+    `slot[k, j]` is tap k's window slot relative to its group's base, -1
+    on miss. `groups` is the static (tap ids per group) structure.
     """
 
     in_idx: jnp.ndarray        # (K, M_out) int32
@@ -40,6 +47,15 @@ class ConvPlan:
     out_nnz: jnp.ndarray       # () int32
     in_capacity: int = struct.field(pytree_node=False)
     out_capacity: int = struct.field(pytree_node=False)
+    base_pos: Any = None       # (Gg, M_out) int32 | None
+    slot: Any = None           # (K, M_out) int8 | None
+    groups: Any = struct.field(pytree_node=False, default=None)
+    # ^ tuple of tuples of tap ids (run order) | None
+
+    @property
+    def window(self) -> int:
+        """Window width G (max run length across groups)."""
+        return max(len(t) for t in self.groups) if self.groups else 0
 
 
 @struct.dataclass
@@ -52,6 +68,19 @@ class SparseTensor:
     cmaps: Dict[Tuple[int, ...], Any] = struct.field(default_factory=dict)
     # (in_stride, ks, stride, dilation) -> ConvPlan
     kmaps: Dict[Tuple[Any, ...], ConvPlan] = struct.field(default_factory=dict)
+    # base_sorted: whether the tensor's ORIGINAL (creation-time) coords
+    # were supplied in pack-key order (b, z, y, x) — the invariant the
+    # host collate functions maintain. Propagated unchanged; consulted
+    # when a transposed conv restores the creation-stride map.
+    base_sorted: bool = struct.field(pytree_node=False, default=False)
+    # coords_sorted: whether THIS tensor's coords are in pack-key order.
+    # Strided-conv outputs come from unique_coords and set it True;
+    # submanifold ops inherit it.
+    coords_sorted: bool = struct.field(pytree_node=False, default=False)
+
+    @property
+    def is_sorted(self) -> bool:
+        return self.coords_sorted
 
     @property
     def capacity(self) -> int:
@@ -71,7 +100,14 @@ class SparseTensor:
         return self.replace(feats=feats)
 
 
-def make_sparse_tensor(feats, coords, nnz=None, stride=1) -> SparseTensor:
+def make_sparse_tensor(feats, coords, nnz=None, stride=1,
+                       base_sorted: bool = False) -> SparseTensor:
+    """`base_sorted=True` asserts the valid coords are in pack-key order
+    (b, z, y, x) — guaranteed by the host collate functions
+    (data/collate.py, data/det_pipeline.collate_det). It unlocks the
+    bracketed joins and windowed gathers in sparse/conv.py; passing it for
+    unsorted coords silently corrupts kernel maps, so only set it for
+    collate-produced batches."""
     stride = coordlib.make_ntuple(stride)
     coords = jnp.asarray(coords, jnp.int32)
     feats = jnp.asarray(feats)
@@ -84,7 +120,8 @@ def make_sparse_tensor(feats, coords, nnz=None, stride=1) -> SparseTensor:
         row = jnp.arange(n, dtype=jnp.int32)
         coords = jnp.where((row < nnz)[:, None], coords,
                            jnp.int32(coordlib.INVALID_COORD))
-    st = SparseTensor(feats=feats, coords=coords, nnz=nnz, stride=stride)
+    st = SparseTensor(feats=feats, coords=coords, nnz=nnz, stride=stride,
+                      base_sorted=base_sorted, coords_sorted=base_sorted)
     st.cmaps[stride] = (coords, nnz)
     return st
 

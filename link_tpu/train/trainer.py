@@ -55,7 +55,7 @@ def seg_train_step(model, tx, state: TrainState, batch: Dict,
 
     def loss_fn(params):
         st = make_sparse_tensor(batch["feats"], batch["coords"],
-                                nnz=batch["nnz"])
+                                nnz=batch["nnz"], base_sorted=True)
         logits, mut = model.apply(
             {"params": params, "batch_stats": state.batch_stats},
             st, True, mutable=["batch_stats"])
@@ -83,7 +83,7 @@ def seg_eval_step(model, state: TrainState, batch: Dict, num_classes: int,
                   ignore_label: int = 0, axis_name: Optional[str] = None):
     """Voxel-level predictions + IoU counters (trainers.py:84-103 computes
     point-level via inverse_map; that remap happens host-side)."""
-    st = make_sparse_tensor(batch["feats"], batch["coords"], nnz=batch["nnz"])
+    st = make_sparse_tensor(batch["feats"], batch["coords"], nnz=batch["nnz"], base_sorted=True)
     logits = model.apply(
         {"params": state.params, "batch_stats": state.batch_stats}, st, False)
     preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -108,7 +108,7 @@ def make_dp_train_step(model, tx, mesh: Mesh, ignore_label: int = 0):
     the segmentation reference (no SyncBN there, train.py:97-100)."""
 
     def per_replica_loss(params, batch_stats, b):
-        st = make_sparse_tensor(b["feats"], b["coords"], nnz=b["nnz"])
+        st = make_sparse_tensor(b["feats"], b["coords"], nnz=b["nnz"], base_sorted=True)
         logits, mut = model.apply(
             {"params": params, "batch_stats": batch_stats},
             st, True, mutable=["batch_stats"])
@@ -146,7 +146,7 @@ def make_dp_eval_step(model, mesh: Mesh, num_classes: int,
     replicas (reference MeanIoU allreduce, callbacks.py:56-61)."""
 
     def per_replica(params, batch_stats, b):
-        st = make_sparse_tensor(b["feats"], b["coords"], nnz=b["nnz"])
+        st = make_sparse_tensor(b["feats"], b["coords"], nnz=b["nnz"], base_sorted=True)
         logits = model.apply({"params": params, "batch_stats": batch_stats},
                              st, False)
         preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)

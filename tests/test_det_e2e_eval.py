@@ -80,7 +80,7 @@ def test_detection_eval_path_runs():
     assert pb.shape[1] == 9 if len(pb) else True
     samples = [{"gt_boxes": gt_boxes, "gt_classes": gt_classes,
                 "pred_boxes": pb, "pred_scores": ps, "pred_labels": pl}]
-    gt_c, pr_c, sc_c = NE.group_by_class(samples)
-    m = NE.evaluate_nuscenes(gt_c, pr_c, sc_c)
+    gt_c, pr_c, sc_c, at_c = NE.group_by_class(samples)
+    m = NE.evaluate_nuscenes(gt_c, pr_c, sc_c, attrs_by_class=at_c)
     assert 0.0 <= m["nds"] <= 1.0
     assert 0.0 <= m["mean_ap"] <= 1.0

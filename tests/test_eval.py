@@ -11,8 +11,10 @@ from link_tpu.data.det_pipeline import NUSC_CLASSES
 
 
 def _boxes(rng, n):
+    # centers within +-20 m: inside every devkit class range (min 30 m for
+    # barrier/cone; sqrt(2)*20 = 28.3), so no fixture box gets filtered
     b = np.zeros((n, 9), np.float32)
-    b[:, :2] = rng.uniform(-40, 40, (n, 2))
+    b[:, :2] = rng.uniform(-20, 20, (n, 2))
     b[:, 2] = rng.uniform(-2, 1, n)
     b[:, 3:6] = rng.uniform(0.5, 4, (n, 3))
     b[:, 6:8] = rng.normal(0, 1, (n, 2))
@@ -26,12 +28,17 @@ def test_perfect_predictions_score_one():
     for i in range(4):
         gt = _boxes(rng, 12)
         cls = rng.integers(1, 11, 12)
+        # gt attributes consistent with the velocity heuristic so the
+        # (identical) predictions score a perfect AAE
+        attrs = np.asarray([NE._attr_for(NUSC_CLASSES[c - 1], b[6:8])
+                            for c, b in zip(cls, gt)], object)
         samples.append({"gt_boxes": gt, "gt_classes": cls,
                         "pred_boxes": gt.copy(),
                         "pred_scores": np.linspace(0.9, 0.5, 12),
-                        "pred_labels": cls - 1})
-    gt_c, pr_c, sc_c = NE.group_by_class(samples)
-    m = NE.evaluate_nuscenes(gt_c, pr_c, sc_c)
+                        "pred_labels": cls - 1,
+                        "gt_attributes": attrs})
+    gt_c, pr_c, sc_c, at_c = NE.group_by_class(samples)
+    m = NE.evaluate_nuscenes(gt_c, pr_c, sc_c, attrs_by_class=at_c)
     assert m["mean_ap"] > 0.95, m["mean_ap"]
     assert m["nds"] > 0.95, m["nds"]
 
@@ -49,8 +56,8 @@ def test_noisy_predictions_score_lower():
                         "pred_boxes": pred,
                         "pred_scores": rng.uniform(0.3, 0.9, 12),
                         "pred_labels": cls - 1})
-    gt_c, pr_c, sc_c = NE.group_by_class(samples)
-    m = NE.evaluate_nuscenes(gt_c, pr_c, sc_c)
+    gt_c, pr_c, sc_c, at_c = NE.group_by_class(samples)
+    m = NE.evaluate_nuscenes(gt_c, pr_c, sc_c, attrs_by_class=at_c)
     assert m["mean_ap"] < 0.7
     assert m["tp_errors"]["trans_err"] > 0.2
 

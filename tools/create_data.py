@@ -138,14 +138,24 @@ def nuscenes_data_prep(root_path: str, version: str = "v1.0-trainval",
             # box yaw: nusc devkit yaw -> reference convention (-yaw - pi/2)
             gt_boxes = np.concatenate(
                 [locs, dims, velocity, -rots - np.pi / 2], axis=1)
+            # attribute names for devkit-faithful AAE scoring
+            # (eval/nuscenes_eval.py); an annotation may carry 0 or 1 attrs
+            attrs = np.array(
+                [nusc.get("attribute", a["attribute_tokens"][0])["name"]
+                 if a["attribute_tokens"] else "" for a in annotations],
+                object)
+            npts = np.array([a["num_lidar_pts"] + a["num_radar_pts"]
+                             for a in annotations])
             if filter_zero:
-                npts = np.array([a["num_lidar_pts"] + a["num_radar_pts"]
-                                 for a in annotations])
                 mask = npts > 0
                 gt_boxes, names = gt_boxes[mask], names[mask]
+                attrs, npts = attrs[mask], npts[mask]
+                velocity = velocity[mask]
             info["gt_boxes"] = gt_boxes.astype(np.float32)
             info["gt_names"] = names
             info["gt_boxes_velocity"] = velocity
+            info["gt_attributes"] = attrs
+            info["gt_num_pts"] = npts.astype(np.int32)
 
         (val_infos if scene in val_scenes else train_infos).append(info)
 

@@ -51,6 +51,12 @@ def main():
                     help="4-flip TTA: batch [orig, y-flip, x-flip, xy-flip] "
                          "inputs and fuse predictions at decode "
                          "(test_aug.py DoubleFlip + center_head.py:320-416)")
+    ap.add_argument("--two-stage", action="store_true",
+                    help="RoI refinement second stage (reference "
+                         "detectors/two_stage.py): BEV 5-point pooling + "
+                         "RoI head rescoring/refining the NMS proposals")
+    ap.add_argument("--two-stage-checkpoint", default=None,
+                    help="orbax/pickle checkpoint for the refinement head")
     ap.add_argument("--out", default=None, help="write predictions json")
     args = ap.parse_args()
 
@@ -102,7 +108,8 @@ def main():
     cap = 163840 * n_batch
     model = VoxelNet(num_input_features=5, batch_size=n_batch,
                      grid_shape=grid,
-                     capacities=(cap, cap // 2, cap // 4, cap // 8))
+                     capacities=(cap, cap // 2, cap // 4, cap // 8),
+                     return_bev=args.two_stage)
     num_classes = [len(t) for t in model.tasks]
 
     def batch_samples(s):
@@ -121,10 +128,12 @@ def main():
 
     @jax.jit
     def forward(params, bstats, voxels, coords, npts, nnz):
-        preds = model.apply({"params": params, "batch_stats": bstats},
-                            voxels, coords, npts, nnz, False)
-        return decode_boxes(preds, TEST_CFG, num_classes,
-                            double_flip=args.double_flip)
+        out = model.apply({"params": params, "batch_stats": bstats},
+                          voxels, coords, npts, nnz, False)
+        preds, bev = out if args.two_stage else (out, None)
+        decoded = decode_boxes(preds, TEST_CFG, num_classes,
+                               double_flip=args.double_flip)
+        return (decoded, bev) if args.two_stage else decoded
 
     variables = model.init(jax.random.PRNGKey(0), jnp.asarray(b0["voxels"]),
                            jnp.asarray(b0["coords"]),
@@ -140,6 +149,38 @@ def main():
         params, bstats = st.params, st.batch_stats
         print(f"restored {args.checkpoint}")
 
+    # ---- second stage (reference TwoStageDetector, NMS_POST_MAXSIZE 500,
+    # num_point 5) -------------------------------------------------------
+    refine = refine_vars = refine_apply = None
+    n_roi_max = 500
+    if args.two_stage:
+        from link_tpu.models import two_stage as TS
+        refine = TS.TwoStageRefinement(
+            bev_channels=512, num_point=5, code_size=9,
+            pc_start=(TEST_CFG["pc_range"][0], TEST_CFG["pc_range"][1]),
+            voxel_size=(TEST_CFG["voxel_size"][0],
+                        TEST_CFG["voxel_size"][1]),
+            out_stride=TEST_CFG["out_size_factor"])
+
+        @jax.jit
+        def refine_apply(variables, bev0, rois, scores):
+            iou, reg = refine.apply(variables, bev0, rois, scores, False)
+            boxes = TS.generate_refined_boxes(rois, reg)
+            return TS.second_stage_score(iou, scores), boxes
+
+        def refine_sample(variables, bev0, pb, ps):
+            from link_tpu.models import two_stage as TSm
+            rois = np.zeros((n_roi_max, 9), np.float32)
+            scores = np.zeros((n_roi_max,), np.float32)
+            k = min(len(pb), n_roi_max)
+            if k:
+                rois[:k] = TSm.reorder_to_roi_layout(pb[:k])
+                scores[:k] = ps[:k]
+            s2, boxes = refine_apply(variables, bev0, jnp.asarray(rois),
+                                     jnp.asarray(scores))
+            boxes = TSm.roi_layout_to_det3d(np.asarray(boxes))
+            return np.asarray(s2)[:k], boxes[:k]
+
     n = min(len(ds), args.limit) if args.limit else len(ds)
     samples, latencies = [], []
     for i in range(n):
@@ -150,6 +191,9 @@ def main():
                             jnp.asarray(b["coords"]),
                             jnp.asarray(b["num_points"]),
                             jnp.asarray(b["nnz"]))
+        bev_out = None
+        if args.two_stage:
+            task_outs, bev_out = task_outs
         task_outs = jax.device_get(task_outs)
         latencies.append(time.perf_counter() - t0)
 
@@ -176,6 +220,20 @@ def main():
             pb, ps, pl = (np.zeros((0, 9)), np.zeros(0),
                           np.zeros(0, np.int64))
 
+        if args.two_stage and len(pb):
+            bev0 = bev_out[0]                  # (H, W, C) first in batch
+            if refine_vars is None:
+                refine_vars = refine.init(
+                    jax.random.PRNGKey(1), bev0,
+                    jnp.zeros((n_roi_max, 9)), jnp.zeros((n_roi_max,)),
+                    False)
+                if args.two_stage_checkpoint:
+                    from link_tpu.train.checkpoint import load_checkpoint
+                    refine_vars = load_checkpoint(
+                        args.two_stage_checkpoint, refine_vars)
+            ps, pb = refine_sample(refine_vars, bev0, pb, ps)
+            pl = pl[:len(pb)]
+
         if args.tt_rotation != 0.0:
             from link_tpu.eval.tta_fusion import rotate_predictions_back
             pb = rotate_predictions_back(pb, np.deg2rad(args.tt_rotation))
@@ -185,6 +243,9 @@ def main():
         if "gt_boxes" in s:
             rec["gt_boxes"] = s["gt_boxes"]
             rec["gt_classes"] = s["gt_classes"]
+            for k in ("gt_attributes", "gt_num_pts"):
+                if k in s:
+                    rec[k] = s[k]
         samples.append(rec)
         if (i + 1) % 50 == 0:
             print(f"[{i+1}/{n}]", flush=True)
@@ -202,8 +263,8 @@ def main():
                         for k, v in s.items()} for s in samples], f)
 
     if samples and "gt_boxes" in samples[0]:
-        gt_c, pr_c, sc_c = NE.group_by_class(samples)
-        metrics = NE.evaluate_nuscenes(gt_c, pr_c, sc_c)
+        gt_c, pr_c, sc_c, at_c = NE.group_by_class(samples)
+        metrics = NE.evaluate_nuscenes(gt_c, pr_c, sc_c, attrs_by_class=at_c)
         print(f"mAP: {metrics['mean_ap']*100:.2f}  NDS: "
               f"{metrics['nds']*100:.2f}")
         for c, ap in metrics["class_aps"].items():

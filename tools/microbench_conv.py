@@ -1,0 +1,163 @@
+#!/usr/bin/env python
+"""On-chip microbenchmarks of the sparse-conv primitives: old vs new paths.
+
+Times, at stem scale (N voxels, C channels, ks3 = 27 taps):
+  * build_table           sorted fast path vs sort path
+  * plan build (join)     bracketed search vs full binary search
+  * conv apply            windowed-gather form vs per-tap gather scan
+  * end-to-end conv3d     sorted vs unsorted tensor
+
+Pattern per PLAN.md: the TPU relay memoizes identical (executable, args)
+calls and its block_until_ready is unreliable, so every timed call varies
+an input seed and the timing forces host materialization. Each timing is
+the min of --reps outer reps of a lax.fori_loop of --iters iterations.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=81920)
+    ap.add_argument("--c", type=int, default=64)
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--only", default=None,
+                    help="comma list: table,join,apply,conv")
+    ap.add_argument("--sample", type=int, default=None,
+                    help="override coords.BRACKET_SAMPLE")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from link_tpu.data.semantic_kitti import SyntheticSemanticKITTI
+    from link_tpu.data.collate import collate_scans
+    from link_tpu.sparse import coords as coordlib
+    from link_tpu.sparse import conv as C
+    from link_tpu.sparse.tensor import make_sparse_tensor
+
+    if args.sample:
+        coordlib.BRACKET_SAMPLE = args.sample
+
+    n, ch = args.n, args.c
+    ds = SyntheticSemanticKITTI(length=1, num_points=n - 512,
+                                n_raw_points=int(n * 1.5), voxel_size=0.1,
+                                split="train")
+    b = collate_scans([ds[0]], n)
+    coords = jnp.asarray(b["coords"])
+    feats = jnp.asarray(
+        np.random.default_rng(0).standard_normal((n, ch)), args.dtype)
+    w = jnp.asarray(
+        np.random.default_rng(1).standard_normal((27, ch, ch)) * 0.1,
+        args.dtype)
+    offsets = coordlib.kernel_offsets_np(3, stride=1)
+
+    def timed(name, fn, *fargs):
+        jfn = jax.jit(fn)
+        out = jfn(jnp.int32(0), *fargs)
+        jax.tree_util.tree_map(
+            lambda x: np.asarray(x) if hasattr(x, "shape") else x, out)
+        ts = []
+        for s in range(1, args.reps + 1):
+            t0 = time.perf_counter()
+            out = jfn(jnp.int32(s * 1000), *fargs)
+            jax.tree_util.tree_map(
+                lambda x: np.asarray(x) if hasattr(x, "shape") else x, out)
+            ts.append(time.perf_counter() - t0)
+        per = min(ts) / args.iters * 1000
+        print(f"{name:44s} {per:8.2f} ms")
+        return per
+
+    def loop(body):
+        def f(seed, *fargs):
+            def it(i, acc):
+                return acc + body(seed + i, *fargs)
+            return jax.lax.fori_loop(0, args.iters, it, jnp.float32(0))
+        return f
+
+    only = set(args.only.split(",")) if args.only else None
+
+    def want(k):
+        return only is None or k in only
+
+    if want("table"):
+        def tbl(sorted_):
+            def body(seed, coords):
+                c2 = coords.at[0, 0].add(seed % 1)   # vary input
+                t = coordlib.build_table(c2, assume_sorted=sorted_)
+                return jnp.sum(t.rows[::1024, 2]).astype(jnp.float32)
+            return body
+        timed("build_table sort", loop(tbl(False)), coords)
+        timed("build_table assume_sorted", loop(tbl(True)), coords)
+
+    if want("join"):
+        def join(sorted_q, ident):
+            def body(seed, coords):
+                c2 = coords.at[0, 0].add(seed % 1)
+                t = coordlib.build_table(c2, assume_sorted=ident)
+                idx, bp, sl = coordlib.grouped_window_query(
+                    t, c2, offsets, 1, queries_sorted=sorted_q,
+                    identity_perm=ident)
+                return jnp.sum(idx[:, ::512]).astype(jnp.float32)
+            return body
+        timed("join full-search", loop(join(False, False)), coords)
+        timed("join bracketed+identity", loop(join(True, True)), coords)
+
+    if want("apply"):
+        table = coordlib.build_table(coords, assume_sorted=True)
+        in_idx, base_pos, slot = coordlib.grouped_window_query(
+            table, coords, offsets, 1, queries_sorted=True,
+            identity_perm=True)
+        groups = tuple(tuple(t for _, t in taps)
+                       for _, taps in coordlib.offset_groups(offsets))
+        from link_tpu.sparse.tensor import ConvPlan
+        plan_old = ConvPlan(in_idx=in_idx, out_coords=coords,
+                            out_nnz=jnp.int32(n), in_capacity=n,
+                            out_capacity=n)
+        plan_win = ConvPlan(in_idx=in_idx, out_coords=coords,
+                            out_nnz=jnp.int32(n), in_capacity=n,
+                            out_capacity=n, base_pos=base_pos, slot=slot,
+                            groups=groups)
+
+        def apply_body(plan):
+            def body(seed, feats, w):
+                f2 = feats * (1 + seed.astype(feats.dtype) * 0)
+                f2 = f2.at[0, 0].add(seed.astype(feats.dtype) * 1e-6)
+                out = C.apply_conv_plan(f2, w, plan)
+                return jnp.sum(out[::1024].astype(jnp.float32))
+            return body
+        timed("apply per-tap scan", loop(apply_body(plan_old)), feats, w)
+        timed("apply windowed", loop(apply_body(plan_win)), feats, w)
+
+    if want("conv"):
+        def conv(sorted_):
+            def body(seed, feats, coords, w):
+                c2 = coords.at[0, 0].add(seed % 1)
+                st = make_sparse_tensor(feats, c2, nnz=jnp.int32(n - 512),
+                                        base_sorted=sorted_)
+                out = C.conv3d(st, w, kernel_size=3)
+                return jnp.sum(out.feats[::1024].astype(jnp.float32))
+            return body
+        timed("conv3d e2e unsorted", loop(conv(False)), feats, coords, w)
+        timed("conv3d e2e sorted+windowed", loop(conv(True)), feats,
+              coords, w)
+
+
+if __name__ == "__main__":
+    main()

@@ -73,14 +73,14 @@ def main():
 
     @jax.jit
     def forward(state_params, state_bs, feats, coords, nnz):
-        st = make_sparse_tensor(feats, coords, nnz=nnz)
+        st = make_sparse_tensor(feats, coords, nnz=nnz, base_sorted=True)
         return model.apply({"params": state_params, "batch_stats": state_bs},
                            st, False)
 
     # template state for restore
     s0 = ds[0]
     b0 = collate_scans([s0], caps[0], point_capacity=None)
-    st = make_sparse_tensor(b0["feats"], b0["coords"], nnz=b0["nnz"])
+    st = make_sparse_tensor(b0["feats"], b0["coords"], nnz=b0["nnz"], base_sorted=True)
     variables = model.init(jax.random.PRNGKey(0), st, False)
     import optax
     tx = builder.make_optimizer(cfg, lambda s: 0.0)

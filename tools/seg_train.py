@@ -95,7 +95,7 @@ def main():
                              ignore_label=cfg.data.ignore_label)
 
     b0 = make_dev_batch(train_ds, range(cfg.batch_size))
-    st = make_sparse_tensor(b0["feats"], b0["coords"], nnz=b0["nnz"])
+    st = make_sparse_tensor(b0["feats"], b0["coords"], nnz=b0["nnz"], base_sorted=True)
     variables = model.init(jax.random.PRNGKey(cfg.train.seed), st, False)
     state = T.TrainState(step=jnp.int32(0), params=variables["params"],
                          batch_stats=variables["batch_stats"],

@@ -103,8 +103,8 @@ def main():
 
     if fused and "gt_boxes" in fused[0]:
         from link_tpu.eval import nuscenes_eval as NE
-        gt_c, pr_c, sc_c = NE.group_by_class(fused)
-        metrics = NE.evaluate_nuscenes(gt_c, pr_c, sc_c)
+        gt_c, pr_c, sc_c, at_c = NE.group_by_class(fused)
+        metrics = NE.evaluate_nuscenes(gt_c, pr_c, sc_c, attrs_by_class=at_c)
         print(f"TTA-fused mAP: {metrics['mean_ap']*100:.2f}  "
               f"NDS: {metrics['nds']*100:.2f}")
 
