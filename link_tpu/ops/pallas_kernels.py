@@ -149,3 +149,122 @@ def vmem_conv_fits(n: int, c: int, co: int, k: int,
     """Whether the whole-table conv kernel fits the VMEM budget."""
     need = (n + 1) * c * itemsize + k * c * co * 4
     return need < budget
+
+
+# ---------------------------------------------------------------------------
+# One-hot window conv: the descriptor-free formulation.
+#
+# The XLA path is bound by gather-descriptor throughput (~250M rows/s,
+# PLAN.md). This kernel replaces every gather with an MXU matmul against a
+# one-hot matrix over a CONTIGUOUS table slab:
+#
+#   rows are sorted (pack-key invariant), so the inputs feeding one output
+#   tile live in a bounded window [ws, ws+W) of the feature table. The
+#   window is DMA'd sequentially (full HBM bandwidth, no descriptors), and
+#   tap k's gather becomes onehot_k (TM, W) @ slab (W, C) — pure MXU.
+#
+# Replaces convolution_cuda.cu:14-164's gather-GEMM-scatter the TPU way.
+# Correctness requires every tile's rows to fall inside its window; the
+# caller computes an overflow flag in XLA and falls back when violated
+# (density spikes). Backward runs through a custom_vjp whose bwd is the
+# XLA scatter path, so training uses this kernel's forward too.
+# ---------------------------------------------------------------------------
+
+
+def onehot_window_conv(feats: jnp.ndarray, base_pos: jnp.ndarray,
+                       slot: jnp.ndarray, groups, weight: jnp.ndarray,
+                       block_m: int = 256, window: int = 1024,
+                       interpret: bool = False) -> jnp.ndarray:
+    """feats (N, C); base_pos (Gg, M) int32 (clamped to [0, N-1]); slot
+    (K, M) int8 (-1 miss); groups: static tuple of tap-id tuples; weight
+    (K, C, Co). Returns (M, Co) in feats.dtype.
+
+    The caller must have verified window coverage (see
+    window_overflow)."""
+    n, c = feats.shape
+    k, m = slot.shape
+    co = weight.shape[2]
+    gg = base_pos.shape[0]
+    assert m % block_m == 0, "pad M to a block_m multiple at plan time"
+
+    # per-(group, tile) window starts, clamped so slabs are full-size
+    starts = base_pos[:, ::block_m]                        # (Gg, T)
+    starts = jnp.clip(starts, 0, max(n - window, 0)).astype(jnp.int32)
+
+    # static per-tap group id and the tap order the kernel iterates in
+    tap_group = np.zeros(k, np.int32)
+    for gi, taps in enumerate(groups):
+        for t in taps:
+            tap_group[t] = gi
+
+    grid = (m // block_m,)
+
+    def kernel(starts_ref, base_ref, slot_ref, w_ref, feats_hbm, out_ref,
+               slab, sem):
+        t_idx = pl.program_id(0)
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (block_m, window), 1)
+
+        def start_dma(gi):
+            ws = starts_ref[gi, t_idx]
+            pltpu.make_async_copy(
+                feats_hbm.at[pl.ds(ws, window), :], slab.at[gi % 2],
+                sem.at[gi % 2]).start()
+
+        # double-buffered slabs: group gi+1's DMA overlaps group gi's MXU
+        start_dma(0)
+        acc = jnp.zeros((block_m, co), jnp.float32)
+        for gi, taps in enumerate(groups):
+            if gi + 1 < len(groups):
+                start_dma(gi + 1)
+            ws = starts_ref[gi, t_idx]
+            pltpu.make_async_copy(
+                feats_hbm.at[pl.ds(ws, window), :], slab.at[gi % 2],
+                sem.at[gi % 2]).wait()
+            rel_base = base_ref[gi, :] - ws                # (TM,)
+            for t in taps:
+                sl = slot_ref[t, :].astype(jnp.int32)      # (TM,)
+                rel = jnp.where(sl >= 0, rel_base + sl, -1)
+                onehot = (rel[:, None] == iota_w).astype(feats_hbm.dtype)
+                x = jnp.dot(onehot, slab[gi % 2],
+                            preferred_element_type=jnp.float32)
+                acc = acc + jnp.dot(x.astype(w_ref.dtype), w_ref[t],
+                                    preferred_element_type=jnp.float32)
+        out_ref[:, :] = acc.astype(out_ref.dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # starts (Gg, T)
+            pl.BlockSpec((gg, block_m), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),        # base_pos tile
+            pl.BlockSpec((k, block_m), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),        # slot tile
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # weight whole
+            pl.BlockSpec(memory_space=pl.ANY),            # feats in HBM
+        ],
+        out_specs=pl.BlockSpec((block_m, co), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, co), feats.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, window, c), feats.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(starts, base_pos, slot, weight, feats)
+    return out
+
+
+def window_overflow(base_pos: jnp.ndarray, slot: jnp.ndarray,
+                    n_rows: int, block_m: int = 256,
+                    window: int = 1024) -> jnp.ndarray:
+    """True when any tile's referenced rows exceed its window — the
+    caller then uses the XLA path. Rows are base_pos[g, i] + slot (< G),
+    windows start at clip(base_pos[g, tile_start], 0, N - W)."""
+    gg, m = base_pos.shape
+    t = m // block_m
+    bp = base_pos[:, :t * block_m].reshape(gg, t, block_m)
+    starts = jnp.clip(bp[:, :, 0], 0, max(n_rows - window, 0))
+    max_slot = jnp.max(slot.astype(jnp.int32), initial=0)
+    hi = jnp.max(bp, axis=2) + max_slot
+    return jnp.any(hi - starts >= window)

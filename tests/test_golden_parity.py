@@ -1,0 +1,89 @@
+"""Voxel-feature golden parity vs the PyTorch reference (VERDICT r1 item
+4 / BASELINE's fidelity demand): goldens in tests/goldens/ were produced
+by running the REFERENCE ELKUNet (linkunet.py, torchsparse-u CPU backend
+built out-of-tree; see tools/make_goldens.py) on synthetic scans. This
+test translates the reference state_dict through utils/torch_import and
+asserts our JAX model reproduces the reference logits."""
+
+import glob
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from link_tpu.models.linkunet import ELKUNet
+from link_tpu.sparse.tensor import make_sparse_tensor
+from link_tpu.utils.torch_import import translate_elkunet
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
+SCANS = sorted(glob.glob(os.path.join(GOLDEN_DIR, "elkunet_cr*_[0-9].npz")))
+
+
+TSELK = os.path.join(GOLDEN_DIR, "tselk_cos.npz")
+
+
+@pytest.mark.skipif(not os.path.exists(TSELK),
+                    reason="no det golden generated")
+def test_tselk_block_matches_reference():
+    """Detection ELK block (cos basis, det channel grouping) vs the
+    reference TSELKBlock golden (tools/make_goldens_det.py); also
+    numerically validates the det translator's ELK mapping conventions
+    (utils/torch_import_det.py:117-130)."""
+    from link_tpu.models.elk import ELKBlock
+
+    g = np.load(TSELK)
+    coords, feats, want = g["coords"], g["feats"], g["out"]
+    inc, block_sz = int(g["inc"]), int(g["block_sz"])
+    sd = {k[3:].replace("__", "."): g[k] for k in g.files
+          if k.startswith("sd_")}
+
+    n, cap = len(coords), 1024
+    cpad = np.full((cap, 4), -(2 ** 20), np.int32)
+    fpad = np.zeros((cap, inc), np.float32)
+    cpad[:n], fpad[:n] = coords, feats
+    st = make_sparse_tensor(fpad, cpad, nnz=n)
+
+    model = ELKBlock(inc=inc, aux_capacity=cap, baseop="cos",
+                     det_grouping=True)
+    params = {
+        "pre_mix": {"kernel": sd["pre_mix.0.weight"].T},
+        "pre_mix_norm": {"scale": sd["pre_mix.1.weight"],
+                         "bias": sd["pre_mix.1.bias"]},
+        "local_mix": {"kernel": sd["local_mix.0.kernel"]},
+        "pos_weight": {"kernel": sd["pos_weight.0.weight"].T},
+        "norm": {"scale": sd["norm.weight"], "bias": sd["norm.bias"]},
+        "norm_local": {"scale": sd["norm_local.weight"],
+                       "bias": sd["norm_local.bias"]},
+    }
+    out = model.apply({"params": params}, st, block_sz, 3, False)
+    got = np.asarray(out.feats)[:n]
+    err = np.max(np.abs(got - want)) / (np.max(np.abs(want)) + 1e-9)
+    assert err < 2e-4, f"tselk rel err {err}"
+
+
+@pytest.mark.skipif(not SCANS, reason="no golden files generated")
+def test_elkunet_matches_reference_logits():
+    state_path = glob.glob(os.path.join(GOLDEN_DIR, "*_state.npz"))[0]
+    sd = dict(np.load(state_path))
+    translated = translate_elkunet(sd)
+    cr = float(np.load(SCANS[0])["cr"])
+
+    caps = (1024, 512, 256, 128, 64)
+    model = ELKUNet(num_classes=20, cr=cr, capacities=caps)
+
+    for path in SCANS:
+        g = np.load(path)
+        coords, feats, want = g["coords"], g["feats"], g["logits"]
+        n, cap = len(coords), caps[0]
+        cpad = np.full((cap, 4), -(2 ** 20), np.int32)
+        fpad = np.zeros((cap, 4), np.float32)
+        cpad[:n], fpad[:n] = coords, feats
+        st = make_sparse_tensor(fpad, cpad, nnz=n)
+        got = model.apply({"params": translated["params"],
+                           "batch_stats": translated["batch_stats"]},
+                          st, False)
+        got = np.asarray(got)[:n]
+        err = np.max(np.abs(got - want)) / (np.max(np.abs(want)) + 1e-9)
+        assert err < 2e-4, f"{os.path.basename(path)}: rel err {err}"
