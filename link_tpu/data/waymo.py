@@ -30,19 +30,48 @@ WAYMO_TASKS = (("VEHICLE",), ("PEDESTRIAN",), ("CYCLIST",))
 
 
 def read_frame(path: str) -> Dict:
+    """Lidar frame pickle -> (N, 5) points [x y z intensity elongation],
+    intensity tanh-normalized (reference loading.py:71-80
+    read_single_waymo). GT lives in the info pkls (det3d convention,
+    converted at info time by tools/create_data_waymo.py, mirroring
+    waymo_common.py:260-276)."""
     with open(path, "rb") as f:
         frame = pickle.load(f)
+    feat = frame["lidars"]["points_feature"].astype(np.float32).copy()
+    feat[:, 0] = np.tanh(feat[:, 0])   # intensity normalization
     pts = np.concatenate(
-        [frame["lidars"]["points_xyz"],
-         frame["lidars"]["points_feature"]], axis=1).astype(np.float32)
-    boxes, names = [], []
-    for obj in frame.get("objects", []):
-        boxes.append(obj["box"])
-        names.append(obj["name"])
-    boxes = (np.asarray(boxes, np.float32).reshape(-1, 9)
-             if boxes else np.zeros((0, 9), np.float32))
-    return {"points": pts, "gt_boxes": boxes,
-            "gt_names": np.asarray(names)}
+        [frame["lidars"]["points_xyz"].astype(np.float32), feat], axis=1)
+    return {"points": pts}
+
+
+def load_waymo_sweeps(info: Dict, root_path: str, nsweeps: int) -> Dict:
+    """Multi-sweep accumulation with a time-lag channel (reference
+    pipelines/loading.py:71-101 read_single_waymo[_sweep]): sweeps are
+    re-projected into the keyframe vehicle frame via the stored
+    transform_matrix; points become (N, 6) = (x y z intensity elongation
+    time)."""
+    frame = read_frame(os.path.join(root_path, info["path"]))
+    points = frame["points"]
+    pts_list = [points]
+    times = [np.zeros((len(points), 1), np.float32)]
+    for sweep in info.get("sweeps", [])[:max(0, nsweeps - 1)]:
+        with open(os.path.join(root_path, sweep["path"]), "rb") as f:
+            obj = pickle.load(f)
+        feat = obj["lidars"]["points_feature"].astype(np.float32).copy()
+        feat[:, 0] = np.tanh(feat[:, 0])
+        ps = np.concatenate(
+            [obj["lidars"]["points_xyz"].astype(np.float32), feat], axis=1)
+        tm = sweep.get("transform_matrix")
+        if tm is not None:
+            xyz1 = np.concatenate(
+                [ps[:, :3], np.ones((len(ps), 1), np.float32)], axis=1)
+            ps[:, :3] = (xyz1 @ np.asarray(tm, np.float32).T)[:, :3]
+        pts_list.append(ps)
+        times.append(np.full((len(ps), 1), sweep["time_lag"], np.float32))
+    if nsweeps > 1:
+        frame["points"] = np.concatenate(
+            [np.concatenate(pts_list), np.concatenate(times)], axis=1)
+    return frame
 
 
 class WaymoDataset:
@@ -56,6 +85,7 @@ class WaymoDataset:
         with open(info_path, "rb") as f:
             self.infos = pickle.load(f)
         self.root_path = root_path
+        self.nsweeps = nsweeps
         self.mode = mode
         self.class_names = list(class_names)
         self.pc_range = pc_range
@@ -71,12 +101,27 @@ class WaymoDataset:
 
     def __getitem__(self, index: int) -> Dict:
         info = self.infos[index]
-        frame = read_frame(os.path.join(self.root_path, info["path"]))
+        frame = load_waymo_sweeps(info, self.root_path, self.nsweeps)
         points = frame["points"]
         sample = {"token": info.get("token", str(index))}
 
+        gt_boxes = np.asarray(info.get("gt_boxes",
+                                       np.zeros((0, 9))), np.float32)
+        gt_names = np.asarray(info.get("gt_names", [])).reshape(-1)
+
+        if self.mode != "train":
+            # unaugmented GT passthrough for eval/waymo_eval.py
+            keep = np.isin(gt_names, self.class_names)
+            sample["gt_boxes"] = gt_boxes[keep]
+            sample["gt_classes"] = np.array(
+                [self.class_names.index(n) + 1
+                 for n in gt_names[keep]], np.int32)
+            if "gt_num_pts" in info:
+                sample["gt_num_pts"] = np.asarray(
+                    info["gt_num_pts"])[keep]
+
         if self.mode == "train":
-            boxes, names = frame["gt_boxes"], frame["gt_names"]
+            boxes, names = gt_boxes, gt_names
             keep = np.isin(names, self.class_names)
             boxes, names = boxes[keep], names[keep]
             if self.db_sampler is not None:

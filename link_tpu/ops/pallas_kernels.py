@@ -186,10 +186,9 @@ def onehot_window_conv(feats: jnp.ndarray, base_pos: jnp.ndarray,
     co = weight.shape[2]
     gg = base_pos.shape[0]
     assert m % block_m == 0, "pad M to a block_m multiple at plan time"
-
-    # per-(group, tile) window starts, clamped so slabs are full-size
-    starts = base_pos[:, ::block_m]                        # (Gg, T)
-    starts = jnp.clip(starts, 0, max(n - window, 0)).astype(jnp.int32)
+    itemsize = np.dtype(feats.dtype).itemsize
+    align = 32 // max(1, itemsize)
+    starts = window_starts(base_pos, n, block_m, window, itemsize)
 
     # static per-tap group id and the tap order the kernel iterates in
     tap_group = np.zeros(k, np.int32)
@@ -205,7 +204,9 @@ def onehot_window_conv(feats: jnp.ndarray, base_pos: jnp.ndarray,
         iota_w = jax.lax.broadcasted_iota(jnp.int32, (block_m, window), 1)
 
         def start_dma(gi):
-            ws = starts_ref[gi, t_idx]
+            # starts are pre-aligned to the sublane tiling (window_starts);
+            # the hint lets Mosaic prove slice divisibility
+            ws = pl.multiple_of(starts_ref[gi, t_idx], align)
             pltpu.make_async_copy(
                 feats_hbm.at[pl.ds(ws, window), :], slab.at[gi % 2],
                 sem.at[gi % 2]).start()
@@ -216,7 +217,7 @@ def onehot_window_conv(feats: jnp.ndarray, base_pos: jnp.ndarray,
         for gi, taps in enumerate(groups):
             if gi + 1 < len(groups):
                 start_dma(gi + 1)
-            ws = starts_ref[gi, t_idx]
+            ws = pl.multiple_of(starts_ref[gi, t_idx], align)
             pltpu.make_async_copy(
                 feats_hbm.at[pl.ds(ws, window), :], slab.at[gi % 2],
                 sem.at[gi % 2]).wait()
@@ -241,7 +242,7 @@ def onehot_window_conv(feats: jnp.ndarray, base_pos: jnp.ndarray,
             pl.BlockSpec((k, block_m), lambda i: (0, i),
                          memory_space=pltpu.VMEM),        # slot tile
             pl.BlockSpec(memory_space=pltpu.VMEM),        # weight whole
-            pl.BlockSpec(memory_space=pl.ANY),            # feats in HBM
+            pl.BlockSpec(memory_space=pltpu.HBM),         # feats in HBM
         ],
         out_specs=pl.BlockSpec((block_m, co), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
@@ -255,16 +256,28 @@ def onehot_window_conv(feats: jnp.ndarray, base_pos: jnp.ndarray,
     return out
 
 
-def window_overflow(base_pos: jnp.ndarray, slot: jnp.ndarray,
-                    n_rows: int, block_m: int = 256,
-                    window: int = 1024) -> jnp.ndarray:
-    """True when any tile's referenced rows exceed its window — the
-    caller then uses the XLA path. Rows are base_pos[g, i] + slot (< G),
-    windows start at clip(base_pos[g, tile_start], 0, N - W)."""
+def window_starts(base_pos: jnp.ndarray, n_rows: int, block_m: int,
+                  window: int, itemsize: int) -> jnp.ndarray:
+    """Per-(group, tile) slab starts: the tile's min base, rounded DOWN to
+    the HBM sublane tiling (Mosaic requires dynamic dim-0 slice offsets
+    divisible by it), clamped so slabs are always full-width."""
     gg, m = base_pos.shape
     t = m // block_m
     bp = base_pos[:, :t * block_m].reshape(gg, t, block_m)
-    starts = jnp.clip(bp[:, :, 0], 0, max(n_rows - window, 0))
+    align = 32 // max(1, itemsize)
+    starts = (jnp.min(bp, axis=2) // align) * align
+    return jnp.clip(starts, 0, max(n_rows - window, 0)).astype(jnp.int32)
+
+
+def window_overflow(base_pos: jnp.ndarray, slot: jnp.ndarray,
+                    n_rows: int, block_m: int = 256,
+                    window: int = 1024, itemsize: int = 2) -> jnp.ndarray:
+    """True when any tile's referenced rows exceed its window — the
+    caller then uses the XLA path. Rows are base_pos[g, i] + slot (< G)."""
+    gg, m = base_pos.shape
+    t = m // block_m
+    bp = base_pos[:, :t * block_m].reshape(gg, t, block_m)
+    starts = window_starts(base_pos, n_rows, block_m, window, itemsize)
     max_slot = jnp.max(slot.astype(jnp.int32), initial=0)
     hi = jnp.max(bp, axis=2) + max_slot
     return jnp.any(hi - starts >= window)

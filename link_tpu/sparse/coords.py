@@ -401,6 +401,14 @@ def grouped_window_query(table: "CoordTable", base_coords: jnp.ndarray,
     for gi, ((ox0, oy, oz), taps) in enumerate(glist):
         gsize = len(taps)
         base = jnp.minimum(pos[gi], n - 1)
+        if identity_perm:
+            # padding queries (sorted last) would clamp to n-1 and blow up
+            # the per-tile window spread of the one-hot conv kernel; their
+            # slots are -1 (miss) so pin them to the last VALID query's
+            # position instead
+            valid_g = q_hi[gi] != INT32_MAX
+            last_valid = jnp.max(jnp.where(valid_g, base, 0))
+            base = jnp.where(valid_g, base, last_valid)
         base_list.append(base)
         win = keysW[base]                           # (M, 3*gmax)
         for ti, (ox, t) in enumerate(taps):

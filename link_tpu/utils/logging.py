@@ -58,3 +58,62 @@ class MetricsLogger:
     def log(self, record: Dict):
         with open(self.path, "a") as f:
             f.write(json.dumps({"time": time.time(), **record}) + "\n")
+
+
+class TensorboardLogger:
+    """Tensorboard scalar events (reference: segmentation trainers.py:44,76
+    summary writer + detection TensorboardLoggerHook,
+    torchie/trainer/hooks/logger/tensorboard.py). Writes real event files
+    via flax.metrics.tensorboard when tensorflow is available, otherwise
+    degrades to a no-op (the JSONL log remains authoritative)."""
+
+    def __init__(self, run_dir: str):
+        self._writer = None
+        try:
+            from flax.metrics import tensorboard
+            self._writer = tensorboard.SummaryWriter(
+                os.path.join(run_dir, "tensorboard"))
+        except Exception:
+            pass
+
+    @property
+    def active(self) -> bool:
+        return self._writer is not None
+
+    def scalars(self, metrics: Dict[str, float], step: int):
+        if self._writer is None:
+            return
+        for k, v in metrics.items():
+            try:
+                self._writer.scalar(k, float(v), step)
+            except (TypeError, ValueError):
+                pass
+
+    def flush(self):
+        if self._writer is not None:
+            self._writer.flush()
+
+
+def save_runtime_code(run_dir: str, repo_root: Optional[str] = None):
+    """Snapshot the source tree into <run_dir>/backup so old checkpoints
+    stay runnable (reference saveRuntimeCode, segmentation/train.py:59-62 +
+    detection/tools/train.py:129-138 rsync backup)."""
+    import shutil
+
+    repo_root = repo_root or os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    dst = os.path.join(run_dir, "backup")
+    os.makedirs(dst, exist_ok=True)
+    for top in ("link_tpu", "tools", "configs", "bench.py"):
+        src = os.path.join(repo_root, top)
+        if not os.path.exists(src):
+            continue
+        out = os.path.join(dst, top)
+        if os.path.isdir(src):
+            shutil.copytree(
+                src, out, dirs_exist_ok=True,
+                ignore=shutil.ignore_patterns("__pycache__", "*.pyc",
+                                              "*.so", ".jax_cache"))
+        else:
+            shutil.copy2(src, out)
+    return dst

@@ -119,6 +119,11 @@ def main():
     run_dir = args.run_dir or os.path.join("runs", "det-" +
                                            time.strftime("%m%d%H%M"))
     os.makedirs(run_dir, exist_ok=True)
+    from link_tpu.utils.logging import (MetricsLogger, TensorboardLogger,
+                                        save_runtime_code)
+    save_runtime_code(run_dir)        # reference rsync code backup
+    jlog = MetricsLogger(run_dir, interval=1)
+    tb = TensorboardLogger(run_dir)
 
     steps_per_epoch = max(1, len(train_ds) // (ndev * spd))
     for epoch in range(1, args.epochs + 1):
@@ -138,9 +143,13 @@ def main():
             state, metrics = train_step(state, gb)
             losses.append(metrics["loss"])
         loss = float(np.mean([np.asarray(l) for l in losses]))
-        print(f"epoch {epoch}: loss={loss:.4f} "
-              f"({steps_per_epoch * ndev * spd / (time.time() - t0):.2f} "
-              f"samples/s)", flush=True)
+        rate = steps_per_epoch * ndev * spd / (time.time() - t0)
+        print(f"epoch {epoch}: loss={loss:.4f} ({rate:.2f} samples/s)",
+              flush=True)
+        scalars = {"loss/train": loss, "samples_per_sec": rate}
+        jlog.log({"epoch": epoch, **scalars})
+        tb.scalars(scalars, epoch)
+        tb.flush()
         save_checkpoint(run_dir, state, epoch)
 
 

@@ -114,6 +114,11 @@ def main():
         "runs", os.path.splitext(os.path.basename(args.config))[0]
         + time.strftime("-%m%d%H%M"))
     os.makedirs(run_dir, exist_ok=True)
+    from link_tpu.utils.logging import (MetricsLogger, TensorboardLogger,
+                                        save_runtime_code)
+    save_runtime_code(run_dir)        # reference saveRuntimeCode semantics
+    jlog = MetricsLogger(run_dir, interval=1)
+    tb = TensorboardLogger(run_dir)
 
     seed = cfg.train.seed
     steps_per_epoch = max(1, len(train_ds) // world_batch)
@@ -155,6 +160,12 @@ def main():
             miou_metric.update(np.asarray(counters))
         miou = miou_metric.compute()
         print(f"epoch {epoch}: val mIoU (voxel) = {miou*100:.2f}", flush=True)
+
+        scalars = {"loss/train": loss, "iou/val": float(miou),
+                   "scans_per_sec": steps_per_epoch * world_batch / dt}
+        jlog.log({"epoch": epoch, **scalars})
+        tb.scalars(scalars, epoch)
+        tb.flush()
 
         save_checkpoint(run_dir, state, epoch, metric=miou,
                         meta={"config": args.config})
