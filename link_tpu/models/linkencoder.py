@@ -25,6 +25,16 @@ from .elk import ELKBlock
 from .linkunet import DEFAULT_CAPACITIES
 
 
+def _plan_policy():
+    """Remat policy: save the integer kernel-map/join tensors
+    (coords.PLAN_TAG) so the backward pass does not redo the
+    sorts and binary searches -- roughly half the forward
+    cost, all gradient-free (PLAN.md round-2 item)."""
+    import jax
+    from ..sparse.coords import PLAN_TAG
+    return jax.checkpoint_policies.save_only_these_names(PLAN_TAG)
+
+
 class GroupedPointConv(nn.Module):
     """1x1 grouped Conv1d over per-voxel features (torch Conv1d semantics:
     weight (Co, Ci/groups, 1), default kaiming-uniform init)."""
@@ -70,9 +80,9 @@ class ELKEncoder(nn.Module):
         import jax.numpy as _jnp
         x = x.replace(feats=x.feats.astype(_jnp.dtype(self.dtype)))
         if self.remat:
-            _Res = nn.remat(ResidualBlock, static_argnums=(2,))
-            _Down = nn.remat(BasicConvolutionBlock, static_argnums=(2,))
-            _Elk = nn.remat(ELKBlock, static_argnums=(2, 3, 4))
+            _Res = nn.remat(ResidualBlock, static_argnums=(2,), policy=_plan_policy())
+            _Down = nn.remat(BasicConvolutionBlock, static_argnums=(2,), policy=_plan_policy())
+            _Elk = nn.remat(ELKBlock, static_argnums=(2, 3, 4), policy=_plan_policy())
         else:
             _Res, _Down = ResidualBlock, BasicConvolutionBlock
             _Elk = ELKBlock

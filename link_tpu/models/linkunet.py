@@ -26,6 +26,16 @@ from .elk import ELKBlock
 DEFAULT_CAPACITIES = (84992, 62464, 43520, 27648, 14336)
 
 
+def _plan_policy():
+    """Remat policy: save the integer kernel-map/join tensors
+    (coords.PLAN_TAG) so the backward pass does not redo the
+    sorts and binary searches -- roughly half the forward
+    cost, all gradient-free (PLAN.md round-2 item)."""
+    import jax
+    from ..sparse.coords import PLAN_TAG
+    return jax.checkpoint_policies.save_only_these_names(PLAN_TAG)
+
+
 class ELKUNet(nn.Module):
     num_classes: int
     cr: float = 1.0
@@ -45,9 +55,9 @@ class ELKUNet(nn.Module):
         import jax.numpy as _jnp
         x = x.replace(feats=x.feats.astype(_jnp.dtype(self.dtype)))
         if self.remat:
-            _Res = nn.remat(ResidualBlock, static_argnums=(2,))
-            _Down = nn.remat(BasicConvolutionBlock, static_argnums=(2,))
-            _Elk = nn.remat(ELKBlock, static_argnums=(2, 3, 4))
+            _Res = nn.remat(ResidualBlock, static_argnums=(2,), policy=_plan_policy())
+            _Down = nn.remat(BasicConvolutionBlock, static_argnums=(2,), policy=_plan_policy())
+            _Elk = nn.remat(ELKBlock, static_argnums=(2, 3, 4), policy=_plan_policy())
         else:
             _Res, _Down = ResidualBlock, BasicConvolutionBlock
             _Elk = ELKBlock

@@ -15,6 +15,16 @@ from .blocks import BasicConvolutionBlock, BasicDeconvolutionBlock, ResidualBloc
 from .linkunet import DEFAULT_CAPACITIES
 
 
+def _plan_policy():
+    """Remat policy: save the integer kernel-map/join tensors
+    (coords.PLAN_TAG) so the backward pass does not redo the
+    sorts and binary searches -- roughly half the forward
+    cost, all gradient-free (PLAN.md round-2 item)."""
+    import jax
+    from ..sparse.coords import PLAN_TAG
+    return jax.checkpoint_policies.save_only_these_names(PLAN_TAG)
+
+
 class MinkUNet(nn.Module):
     num_classes: int
     cr: float = 1.0
@@ -29,8 +39,8 @@ class MinkUNet(nn.Module):
         import jax.numpy as _jnp
         x = x.replace(feats=x.feats.astype(_jnp.dtype(self.dtype)))
         if self.remat:
-            _Res = nn.remat(ResidualBlock, static_argnums=(2,))
-            _Down = nn.remat(BasicConvolutionBlock, static_argnums=(2,))
+            _Res = nn.remat(ResidualBlock, static_argnums=(2,), policy=_plan_policy())
+            _Down = nn.remat(BasicConvolutionBlock, static_argnums=(2,), policy=_plan_policy())
         else:
             _Res, _Down = ResidualBlock, BasicConvolutionBlock
         cs = [int(self.cr * c) for c in [32, 32, 64, 128, 256, 256, 128, 96, 96]]

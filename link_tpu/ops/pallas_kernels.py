@@ -156,45 +156,45 @@ def vmem_conv_fits(n: int, c: int, co: int, k: int,
 #
 # The XLA path is bound by gather-descriptor throughput (~250M rows/s,
 # PLAN.md). This kernel replaces every gather with an MXU matmul against a
-# one-hot matrix over a CONTIGUOUS table slab:
+# one-hot matrix over CONTIGUOUS table slabs:
 #
 #   rows are sorted (pack-key invariant), so the inputs feeding one output
-#   tile live in a bounded window [ws, ws+W) of the feature table. The
-#   window is DMA'd sequentially (full HBM bandwidth, no descriptors), and
-#   tap k's gather becomes onehot_k (TM, W) @ slab (W, C) — pure MXU.
+#   tile cluster in table-row space. Each (tile, tap-group) DMAs TWO
+#   window slabs — one anchored at the tile's min base position, one at
+#   its max — which covers both clusters around a density cliff (z-plane
+#   boundaries make single windows insufficient: measured spreads are
+#   p99 ~1k rows but max ~40k). Tap k's gather becomes
+#   onehot_k (TM, W) @ slab (W-on-lanes) — pure MXU, zero descriptors.
 #
-# Replaces convolution_cuda.cu:14-164's gather-GEMM-scatter the TPU way.
-# Correctness requires every tile's rows to fall inside its window; the
-# caller computes an overflow flag in XLA and falls back when violated
-# (density spikes). Backward runs through a custom_vjp whose bwd is the
-# XLA scatter path, so training uses this kernel's forward too.
+# The feature table is consumed TRANSPOSED (C, N): the DMA minor dim is
+# then the 128-aligned window axis, and narrow channel counts (C = 32/64)
+# avoid lane padding. Replaces convolution_cuda.cu:14-164's
+# gather-GEMM-scatter the TPU way. A caller-side overflow flag (rows
+# outside BOTH windows) gates a fallback to the XLA path.
 # ---------------------------------------------------------------------------
+
+WINDOW_ALIGN = 128   # manual DMA slices: minor-dim offsets 128-lane aligned
 
 
 def onehot_window_conv(feats: jnp.ndarray, base_pos: jnp.ndarray,
                        slot: jnp.ndarray, groups, weight: jnp.ndarray,
-                       block_m: int = 256, window: int = 1024,
+                       block_m: int = 128, window: int = 1024,
                        interpret: bool = False) -> jnp.ndarray:
     """feats (N, C); base_pos (Gg, M) int32 (clamped to [0, N-1]); slot
     (K, M) int8 (-1 miss); groups: static tuple of tap-id tuples; weight
     (K, C, Co). Returns (M, Co) in feats.dtype.
 
-    The caller must have verified window coverage (see
-    window_overflow)."""
+    The caller must have verified two-window coverage (window_overflow)."""
     n, c = feats.shape
     k, m = slot.shape
     co = weight.shape[2]
     gg = base_pos.shape[0]
     assert m % block_m == 0, "pad M to a block_m multiple at plan time"
-    itemsize = np.dtype(feats.dtype).itemsize
-    align = 32 // max(1, itemsize)
-    starts = window_starts(base_pos, n, block_m, window, itemsize)
+    assert n % WINDOW_ALIGN == 0, "capacities are power-of-two multiples"
 
-    # static per-tap group id and the tap order the kernel iterates in
-    tap_group = np.zeros(k, np.int32)
-    for gi, taps in enumerate(groups):
-        for t in taps:
-            tap_group[t] = gi
+    lo_s, hi_s = window_starts(base_pos, n, block_m, window)
+    starts = jnp.stack([lo_s, hi_s], axis=1)      # (Gg, 2, T)
+    feats_t = feats.T                             # (C, N) window on lanes
 
     grid = (m // block_m,)
 
@@ -204,31 +204,51 @@ def onehot_window_conv(feats: jnp.ndarray, base_pos: jnp.ndarray,
         iota_w = jax.lax.broadcasted_iota(jnp.int32, (block_m, window), 1)
 
         def start_dma(gi):
-            # starts are pre-aligned to the sublane tiling (window_starts);
-            # the hint lets Mosaic prove slice divisibility
-            ws = pl.multiple_of(starts_ref[gi, t_idx], align)
-            pltpu.make_async_copy(
-                feats_hbm.at[pl.ds(ws, window), :], slab.at[gi % 2],
-                sem.at[gi % 2]).start()
+            for wi in range(2):
+                ws = pl.multiple_of(starts_ref[gi, wi, t_idx], WINDOW_ALIGN)
+                pltpu.make_async_copy(
+                    feats_hbm.at[:, pl.ds(ws, window)],
+                    slab.at[gi % 2, wi], sem.at[gi % 2, wi]).start()
 
-        # double-buffered slabs: group gi+1's DMA overlaps group gi's MXU
+        def wait_dma(gi):
+            for wi in range(2):
+                ws = pl.multiple_of(starts_ref[gi, wi, t_idx], WINDOW_ALIGN)
+                pltpu.make_async_copy(
+                    feats_hbm.at[:, pl.ds(ws, window)],
+                    slab.at[gi % 2, wi], sem.at[gi % 2, wi]).wait()
+
+        # double-buffered slabs: group gi+1's DMAs overlap group gi's MXU
         start_dma(0)
         acc = jnp.zeros((block_m, co), jnp.float32)
         for gi, taps in enumerate(groups):
             if gi + 1 < len(groups):
                 start_dma(gi + 1)
-            ws = pl.multiple_of(starts_ref[gi, t_idx], align)
-            pltpu.make_async_copy(
-                feats_hbm.at[pl.ds(ws, window), :], slab.at[gi % 2],
-                sem.at[gi % 2]).wait()
-            rel_base = base_ref[gi, :] - ws                # (TM,)
+            wait_dma(gi)
+            ws1 = starts_ref[gi, 0, t_idx]
+            ws2 = starts_ref[gi, 1, t_idx]
             for t in taps:
                 sl = slot_ref[t, :].astype(jnp.int32)      # (TM,)
-                rel = jnp.where(sl >= 0, rel_base + sl, -1)
-                onehot = (rel[:, None] == iota_w).astype(feats_hbm.dtype)
-                x = jnp.dot(onehot, slab[gi % 2],
-                            preferred_element_type=jnp.float32)
-                acc = acc + jnp.dot(x.astype(w_ref.dtype), w_ref[t],
+                row = jnp.where(sl >= 0, base_ref[gi, :] + sl, -1)
+                rel1 = row - ws1
+                in1 = (row >= ws1) & (rel1 < window) & (sl >= 0)
+                rel2 = row - ws2
+                # exclusive: window 2 only picks rows window 1 missed
+                # (windows may overlap when the tile's span is small)
+                oh1 = (jnp.where(in1, rel1, -1)[:, None] == iota_w)
+                oh2 = (jnp.where(~in1 & (sl >= 0), rel2, -1)[:, None]
+                       == iota_w)
+                dtype = w_ref.dtype
+                # gathered rows: contraction over the window axis of the
+                # TRANSPOSED slab (C, W) -> (TM, C)
+                x = jax.lax.dot_general(
+                    oh1.astype(dtype), slab[gi % 2, 0],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                x = x + jax.lax.dot_general(
+                    oh2.astype(dtype), slab[gi % 2, 1],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                acc = acc + jnp.dot(x.astype(dtype), w_ref[t],
                                     preferred_element_type=jnp.float32)
         out_ref[:, :] = acc.astype(out_ref.dtype)
 
@@ -236,48 +256,59 @@ def onehot_window_conv(feats: jnp.ndarray, base_pos: jnp.ndarray,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),        # starts (Gg, T)
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # starts (Gg,2,T)
             pl.BlockSpec((gg, block_m), lambda i: (0, i),
                          memory_space=pltpu.VMEM),        # base_pos tile
             pl.BlockSpec((k, block_m), lambda i: (0, i),
                          memory_space=pltpu.VMEM),        # slot tile
             pl.BlockSpec(memory_space=pltpu.VMEM),        # weight whole
-            pl.BlockSpec(memory_space=pltpu.HBM),         # feats in HBM
+            pl.BlockSpec(memory_space=pltpu.HBM),         # feats.T in HBM
         ],
         out_specs=pl.BlockSpec((block_m, co), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, co), feats.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, window, c), feats.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, 2, c, window), feats.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
         interpret=interpret,
-    )(starts, base_pos, slot, weight, feats)
+    )(starts, base_pos, slot, weight, feats_t)
     return out
 
 
 def window_starts(base_pos: jnp.ndarray, n_rows: int, block_m: int,
-                  window: int, itemsize: int) -> jnp.ndarray:
-    """Per-(group, tile) slab starts: the tile's min base, rounded DOWN to
-    the HBM sublane tiling (Mosaic requires dynamic dim-0 slice offsets
-    divisible by it), clamped so slabs are always full-width."""
+                  window: int):
+    """Per-(group, tile) slab starts for the TWO windows: anchored at the
+    tile's min base (rounded down to the 128-lane DMA alignment) and at
+    its max (window end pinned past the highest row), both clamped to
+    full-width slabs. Returns (lo (Gg, T), hi (Gg, T)) int32."""
     gg, m = base_pos.shape
     t = m // block_m
     bp = base_pos[:, :t * block_m].reshape(gg, t, block_m)
-    align = 32 // max(1, itemsize)
-    starts = (jnp.min(bp, axis=2) // align) * align
-    return jnp.clip(starts, 0, max(n_rows - window, 0)).astype(jnp.int32)
+    lo = (jnp.min(bp, axis=2) // WINDOW_ALIGN) * WINDOW_ALIGN
+    lo = jnp.clip(lo, 0, max(n_rows - window, 0)).astype(jnp.int32)
+    # hi window: floor-aligned at the smallest base the LO window misses,
+    # so the second cluster is covered from its bottom (anchoring at the
+    # tile max would clip the cluster's lower rows)
+    in_lo = (bp >= lo[:, :, None]) & (bp - lo[:, :, None] < window)
+    min2 = jnp.min(jnp.where(in_lo, np.int32(2**31 - 1), bp), axis=2)
+    hi = (jnp.minimum(min2, n_rows) // WINDOW_ALIGN) * WINDOW_ALIGN
+    hi = jnp.clip(hi, 0, max(n_rows - window, 0)).astype(jnp.int32)
+    return lo, hi
 
 
 def window_overflow(base_pos: jnp.ndarray, slot: jnp.ndarray,
-                    n_rows: int, block_m: int = 256,
-                    window: int = 1024, itemsize: int = 2) -> jnp.ndarray:
-    """True when any tile's referenced rows exceed its window — the
-    caller then uses the XLA path. Rows are base_pos[g, i] + slot (< G)."""
+                    n_rows: int, block_m: int = 128,
+                    window: int = 1024) -> jnp.ndarray:
+    """True when some row of some tile falls outside BOTH of its windows —
+    the caller then uses the XLA path. Rows are base_pos + slot (< G <=
+    the WINDOW_ALIGN slack built into the hi window)."""
     gg, m = base_pos.shape
     t = m // block_m
     bp = base_pos[:, :t * block_m].reshape(gg, t, block_m)
-    starts = window_starts(base_pos, n_rows, block_m, window, itemsize)
+    lo, hi = window_starts(base_pos, n_rows, block_m, window)
     max_slot = jnp.max(slot.astype(jnp.int32), initial=0)
-    hi = jnp.max(bp, axis=2) + max_slot
-    return jnp.any(hi - starts >= window)
+    top = bp + max_slot                   # highest row a tap can touch
+    in_lo = (bp >= lo[:, :, None]) & (top - lo[:, :, None] < window)
+    in_hi = (bp >= hi[:, :, None]) & (top - hi[:, :, None] < window)
+    return jnp.any(~(in_lo | in_hi))

@@ -116,12 +116,19 @@ class TestPipeline:
                 per[key] = []
             if len(per[key]) < 4:
                 per[key].append(p)
+        # selection semantics (WHICH voxels/points survive) are reference
+        # first-appearance; emitted row ORDER is pack-key sorted (the
+        # device-side invariant) — match rows by coordinate, not position
         assert len(coors) == len(order)
-        for i, key in enumerate(order):
-            np.testing.assert_array_equal(coors[i], np.array(key)[::-1])
+        row_of = {tuple(coors[i]): i for i in range(len(coors))}
+        for key in order:
+            i = row_of[tuple(np.array(key)[::-1])]
             assert nppv[i] == len(per[key])
             np.testing.assert_allclose(voxels[i, :nppv[i]],
                                        np.stack(per[key]), atol=0)
+        # emitted order is (z, y, x) lexsort over the zyx rows
+        want_perm = np.lexsort((coors[:, 2], coors[:, 1], coors[:, 0]))
+        np.testing.assert_array_equal(want_perm, np.arange(len(coors)))
 
     def test_assign_label_basic(self):
         boxes = np.array([[0.0, 0.0, -1.0, 2.0, 4.0, 1.5, 0.5, 0.0, 0.3]])

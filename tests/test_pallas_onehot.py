@@ -51,9 +51,37 @@ def test_onehot_conv_matches_xla(cap, block_m, window):
 
 
 def test_window_overflow_detects():
-    # base positions jumping by > window inside one tile must flag
-    base = jnp.zeros((1, 256), jnp.int32).at[0, 200].set(5000)
     slot = jnp.zeros((1, 256), jnp.int8)
-    assert bool(PK.window_overflow(base, slot, 8192, 256, 1024))
-    base2 = jnp.arange(256, dtype=jnp.int32)[None, :]
-    assert not bool(PK.window_overflow(base2, slot, 8192, 256, 1024))
+    # TWO clusters (0 and 5000) are covered by the two per-tile windows
+    base2c = jnp.zeros((1, 256), jnp.int32).at[0, 200].set(5000)
+    assert not bool(PK.window_overflow(base2c, slot, 8192, 256, 1024))
+    # THREE clusters farther apart than the window cannot be covered
+    base3c = (jnp.zeros((1, 256), jnp.int32)
+              .at[0, 100].set(3000).at[0, 200].set(6000))
+    assert bool(PK.window_overflow(base3c, slot, 8192, 256, 1024))
+    base_lin = jnp.arange(256, dtype=jnp.int32)[None, :]
+    assert not bool(PK.window_overflow(base_lin, slot, 8192, 256, 1024))
+
+
+def test_onehot_conv_two_window_coverage():
+    """Rows split across two distant clusters: the hi window must pick up
+    what the lo window misses (exclusive selection)."""
+    rng = np.random.default_rng(7)
+    cap, c, co, block_m, window = 2048, 8, 8, 128, 256
+    f = jnp.asarray(rng.standard_normal((cap, c)).astype(np.float32))
+    # one group, one tap; base rows alternate between a low and a high
+    # cluster inside each tile
+    base = np.zeros((1, block_m), np.int32)
+    base[0, ::2] = rng.integers(0, 200, size=block_m // 2)
+    # spread + 128-alignment loss must stay under the 256 window
+    base[0, 1::2] = rng.integers(1500, 1600, size=block_m // 2)
+    base = jnp.asarray(base)
+    slot = jnp.zeros((1, block_m), jnp.int8)
+    w = jnp.asarray(rng.standard_normal((1, c, co)).astype(np.float32))
+    assert not bool(PK.window_overflow(base, slot, cap, block_m, window))
+    got = PK.onehot_window_conv(f, base, slot, ((0,),), w,
+                                block_m=block_m, window=window,
+                                interpret=True)
+    want = jnp.take(f, base[0], axis=0) @ w[0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
