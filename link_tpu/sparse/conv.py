@@ -73,6 +73,23 @@ def build_conv_plan(in_coords: jnp.ndarray,
                     in_capacity=in_capacity, out_capacity=out_coords.shape[0])
 
 
+def invert_plan(plan: ConvPlan) -> jnp.ndarray:
+    """Inverse kernel map: inv[k, i] = output row j with in_idx[k, j] == i
+    (or -1). Well-defined because j -> in_idx[k, j] is injective per tap
+    (distinct output coords shift to distinct input coords). One int32
+    scatter per tap at plan time turns every later TRANSPOSED apply into
+    a gather+matmul scan — the reference's scatter kernel
+    (convolution_cuda.cu:36-48) inverted the TPU way."""
+    k, m = plan.in_idx.shape
+    n = plan.in_capacity
+    tgt = jnp.where(plan.in_idx >= 0, plan.in_idx, n)
+    inv = jnp.full((k, n + 1), -1, jnp.int32)
+    inv = inv.at[jnp.arange(k)[:, None], tgt].set(
+        jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32), (k, m)),
+        mode="drop")
+    return coordlib.checkpoint_name(inv[:, :n], coordlib.PLAN_TAG)
+
+
 def _window_table(feats: jnp.ndarray, g: int) -> jnp.ndarray:
     """Shifted-concat view: row p of the result holds input rows p..p+g-1
     side by side, so one row gather fetches a whole g-row window. Rows past
@@ -156,8 +173,10 @@ def apply_conv_plan(feats: jnp.ndarray, weight: jnp.ndarray, plan: ConvPlan,
                     if plan.groups else 1 << 30)
     if plan.base_pos is not None and window_bytes <= 256:
         if transposed:
-            return _apply_windowed_transposed(feats, weight, plan)
-        return _apply_windowed(feats, weight, plan)
+            if plan.inv_idx is None:   # inverse-map gather beats scatter
+                return _apply_windowed_transposed(feats, weight, plan)
+        else:
+            return _apply_windowed(feats, weight, plan)
 
     if not transposed:
         n_in = feats.shape[0]
@@ -178,6 +197,26 @@ def apply_conv_plan(feats: jnp.ndarray, weight: jnp.ndarray, plan: ConvPlan,
     else:
         # feats live on the plan's *output* side; result on its input side.
         m_in = plan.in_capacity
+
+        if plan.inv_idx is not None:
+            # gather form over the inverse map: out[i] = sum_k
+            # feats[inv[k, i]] @ W[k] — replaces K scatter-adds with K
+            # gathers (~4x cheaper, PLAN.md round-2 profile)
+            n_src = feats.shape[0]
+            feats_ext = jnp.concatenate(
+                [feats, jnp.zeros((1, ci), feats.dtype)], axis=0)
+            idx = jnp.where(plan.inv_idx >= 0, plan.inv_idx, n_src)
+
+            def gbody(acc, xs):
+                idx_k, w_k = xs
+                x = feats_ext[idx_k]                           # (N_in, Ci)
+                acc = acc + jnp.dot(x, w_k.astype(x.dtype),
+                                    preferred_element_type=jnp.float32)
+                return acc, None
+
+            init = jnp.zeros((m_in, co), jnp.float32)
+            acc, _ = jax.lax.scan(gbody, init, (idx, weight))
+            return acc.astype(feats.dtype)
 
         def body(acc, xs):
             idx_k, w_k = xs                                    # (M_out,), (Ci, Co)
@@ -258,7 +297,13 @@ def conv3d(x: SparseTensor,
                            coords_sorted=out_sorted)
     else:
         tensor_stride = tuple(x.stride[k] // stride[k] for k in range(3))
-        plan = x.kmaps[(tensor_stride, kernel_size, stride, dilation)]
+        tkey = (tensor_stride, kernel_size, stride, dilation)
+        plan = x.kmaps[tkey]
+        if plan.inv_idx is None:
+            # build the inverse map once per plan (trace-time cache) so
+            # the transposed apply runs gather-form
+            plan = plan.replace(inv_idx=invert_plan(plan))
+            x.kmaps[tkey] = plan
         feats = apply_conv_plan(x.feats, weight, plan, transposed=True)
         if bias is not None:
             feats = feats + bias

@@ -30,6 +30,14 @@ from typing import Sequence, Tuple, Union
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name
+
+# Residual tag for the integer planning work (sorts, joins, unique
+# maps). Under nn.remat with policy save_only_these_names(PLAN_TAG)
+# these tensors are SAVED instead of recomputed in the backward --
+# plan building is roughly half the forward cost and is pure int work
+# with no gradient, so re-running it in the bwd pass is pure waste.
+PLAN_TAG = "coord_plan"
 
 Int3 = Tuple[int, int, int]
 
@@ -117,33 +125,40 @@ def lower_bound(table_hi: jnp.ndarray, table_lo: jnp.ndarray,
     return lo_idx
 
 
+def _gallop_steps(rows: jnp.ndarray, q_hi: jnp.ndarray, q_lo: jnp.ndarray,
+                  start, bound, n_steps: int) -> jnp.ndarray:
+    """Unrolled galloping lower bound: pos = start + |{j in [start, bound):
+    key[j] < q}|, exact whenever bound - start < 2**n_steps.
+
+    Single carried array (pos), UNROLLED python loop: profiling (PLAN.md
+    round 2) showed the lax loop forms spend ~half their device time on
+    while-carry buffer copies (~40-80 us per round per carry) — the
+    unrolled single-carry form has no loop carries at all. Each probe is
+    one packed-row gather (rows[.., :2] = key hi/lo)."""
+    n = rows.shape[0]
+    pos = jnp.broadcast_to(jnp.asarray(start, jnp.int32), q_hi.shape)
+    bound = jnp.broadcast_to(jnp.asarray(bound, jnp.int32), q_hi.shape)
+    for k in range(n_steps - 1, -1, -1):
+        step = np.int32(1 << k)
+        cand = pos + step
+        probe = jnp.minimum(cand - 1, n - 1)
+        r = rows[probe]                                   # one row gather
+        t_hi, t_lo = r[..., 0], r[..., 1]
+        less = (t_hi < q_hi) | ((t_hi == q_hi) & (t_lo < q_lo))
+        pos = jnp.where((cand <= bound) & less, cand, pos)
+    return pos
+
+
 def lower_bound_rows(rows: jnp.ndarray, q_hi: jnp.ndarray,
                      q_lo: jnp.ndarray) -> jnp.ndarray:
     """Lower bound over a packed (N, >=2) int32 row table [hi | lo | ...].
 
-    TPU-perf-critical form: scalar-element gathers run ~20x slower than row
-    gathers (which are row-count bound), so each binary-search round does
-    ONE row gather instead of two element gathers.
-    """
+    TPU-perf-critical form: one row gather per probe (scalar-element
+    gathers run ~20x slower), unrolled galloping search (no loop-carry
+    copies — see _gallop_steps)."""
     n = rows.shape[0]
     steps = max(1, int(np.ceil(np.log2(n + 1))))
-    lo_idx = jnp.zeros(q_hi.shape, dtype=jnp.int32)
-    hi_idx = jnp.full(q_hi.shape, n, dtype=jnp.int32)
-
-    def body(_, carry):
-        lo_i, hi_i = carry
-        mid = (lo_i + hi_i) >> 1
-        mid_c = jnp.minimum(mid, n - 1)
-        r = rows[mid_c]                                   # (..., W) one gather
-        t_hi, t_lo = r[..., 0], r[..., 1]
-        less = (t_hi < q_hi) | ((t_hi == q_hi) & (t_lo < q_lo))
-        open_ = hi_i > lo_i     # keep converged intervals fixed
-        lo_i = jnp.where(less & open_, mid + 1, lo_i)
-        hi_i = jnp.where(less, hi_i, jnp.minimum(hi_i, mid))
-        return lo_i, hi_i
-
-    lo_idx, _ = jax.lax.fori_loop(0, steps, body, (lo_idx, hi_idx))
-    return lo_idx
+    return _gallop_steps(rows, q_hi, q_lo, 0, n, steps)
 
 
 # coarse-sample spacing for the bracketed search; tuned on-chip via
@@ -152,29 +167,37 @@ BRACKET_SAMPLE = 32
 
 
 def lower_bound_rows_bracketed(rows: jnp.ndarray, q_hi: jnp.ndarray,
-                               q_lo: jnp.ndarray, sample: int = None
-                               ) -> jnp.ndarray:
+                               q_lo: jnp.ndarray, sample: int = None,
+                               hard_div: int = 8) -> jnp.ndarray:
     """Lower bound for queries SORTED ascending along the last axis.
 
-    Exploits monotonicity of lower-bound positions over sorted queries:
-    every `sample`-th query is searched exactly (full log2(N) rounds on
-    M/sample queries — negligible), then all queries refine inside the
-    [coarse_k, coarse_{k+1}] bracket. Typical bracket width is ~sample, so
-    the per-query rounds drop from log2(N)≈17 to ~log2(2·sample)≈7-8 —
-    roughly halving the join's gather traffic (PLAN.md roadmap item 2a/2b).
+    Exploits monotonicity of lower-bound positions over sorted queries.
+    Three phases, all with unrolled single-carry galloping probes (no
+    lax-loop carry copies — PLAN.md round-2 profiling):
 
-    Correct for any data: the refine loop runs until every bracket closes
-    (lax.while_loop), so pathological density spikes cost extra rounds,
-    never wrong answers.
+      1. coarse exact search on every `sample`-th query — small arrays,
+         full log2(N) probes;
+      2. static refine: log2(sample)+1 galloping probes finish every
+         query whose [coarse_k, coarse_{k+1}] bracket is narrower than
+         2*sample — the common case everywhere except density cliffs
+         (z-plane boundaries);
+      3. hard queries (wide brackets) are COMPACTED into a fixed
+         capacity len(q)//hard_div and fully searched there, so cliff
+         brackets no longer make every lane pay worst-bracket rounds
+         (the old while_loop form averaged ~26 full-width rounds).
+
+    A zero-iteration-in-practice while_loop backstops phase 3's capacity:
+    any hard query beyond the compaction capacity still converges, just
+    on the slow path, so results are exact for ANY input.
     """
     if sample is None:
         sample = BRACKET_SAMPLE
     n = rows.shape[0]
     m = q_hi.shape[-1]
     lead = q_hi.shape[:-1]
+    full_steps = max(1, int(np.ceil(np.log2(n + 1))))
 
-    # coarse exact pass on every sample-th query (plus the last column so
-    # the final bracket is tight)
+    # --- phase 1: coarse exact pass on every sample-th query
     c_hi = q_hi[..., ::sample]
     c_lo = q_lo[..., ::sample]
     coarse = lower_bound_rows(rows, c_hi, c_lo)              # (..., nseg)
@@ -188,6 +211,28 @@ def lower_bound_rows_bracketed(rows: jnp.ndarray, q_hi: jnp.ndarray,
     exact = (jnp.arange(m, dtype=jnp.int32) % sample) == 0
     hi_i = jnp.where(exact, lo_i, hi_i)
 
+    # --- phase 2: static refine for narrow brackets
+    r_steps = max(1, int(np.ceil(np.log2(sample))) + 1)
+    easy = (hi_i - lo_i) < (1 << r_steps)
+    pos = _gallop_steps(rows, q_hi, q_lo, lo_i, hi_i, r_steps)
+    lo_i = jnp.where(easy, pos, lo_i)
+    hi_i = jnp.where(easy, pos, hi_i)
+
+    # --- phase 3: compact hard queries (cliff brackets) to fixed capacity
+    total = int(np.prod(lead, dtype=np.int64)) * m if lead else m
+    cap = max(128, total // hard_div)
+    hard = (~easy).reshape(-1)
+    hidx = jnp.nonzero(hard, size=cap, fill_value=total)[0]
+    sent = jnp.asarray([INT32_MAX], jnp.int32)
+    qh = jnp.concatenate([q_hi.reshape(-1), sent])[hidx]
+    ql = jnp.concatenate([q_lo.reshape(-1), sent])[hidx]
+    res_h = _gallop_steps(rows, qh, ql, 0, n, full_steps)
+    lo_i = lo_i.reshape(-1).at[hidx].set(res_h, mode="drop").reshape(
+        lead + (m,))
+    hi_i = hi_i.reshape(-1).at[hidx].set(res_h, mode="drop").reshape(
+        lead + (m,))
+
+    # --- backstop: exact for any input even past phase-3 capacity
     def cond(carry):
         lo_c, hi_c = carry
         return jnp.any(hi_c > lo_c)
@@ -254,7 +299,7 @@ class CoordTable:
         r = self.rows[pos_c]
         hit = (r[:, 0] == q_hi) & (r[:, 1] == q_lo) & key_is_valid(q_hi)
         idx = jnp.where(hit, r[:, 2], -1)
-        return idx.reshape(shape)
+        return checkpoint_name(idx.reshape(shape), PLAN_TAG)
 
 
 def build_table(coords: jnp.ndarray, assume_sorted: bool = False) -> CoordTable:
@@ -269,7 +314,7 @@ def build_table(coords: jnp.ndarray, assume_sorted: bool = False) -> CoordTable:
         hi, lo, perm = sort_by_key(hi, lo, perm)
     rows = jnp.zeros((n, CoordTable.ROW_W), jnp.int32)
     rows = rows.at[:, 0].set(hi).at[:, 1].set(lo).at[:, 2].set(perm)
-    return CoordTable(rows)
+    return CoordTable(checkpoint_name(rows, PLAN_TAG))
 
 
 def unique_coords(coords: jnp.ndarray, out_capacity: int):
@@ -313,7 +358,9 @@ def unique_coords(coords: jnp.ndarray, out_capacity: int):
     inverse = jnp.zeros((n,), jnp.int32).at[s_idx].set(
         jnp.where(in_range, slot_or_dump, -1).astype(jnp.int32)
     )
-    return out_coords, inverse, out_nnz
+    return (checkpoint_name(out_coords, PLAN_TAG),
+            checkpoint_name(inverse, PLAN_TAG),
+            checkpoint_name(out_nnz, PLAN_TAG))
 
 
 def offset_groups(offsets: np.ndarray):
@@ -427,9 +474,10 @@ def grouped_window_query(table: "CoordTable", base_coords: jnp.ndarray,
             in_idx[t] = res
             if identity_perm:
                 slot[t] = sl
-    in_idx = jnp.stack(in_idx)
+    in_idx = checkpoint_name(jnp.stack(in_idx), PLAN_TAG)
     if identity_perm:
-        return in_idx, jnp.stack(base_list), jnp.stack(slot)
+        return (in_idx, checkpoint_name(jnp.stack(base_list), PLAN_TAG),
+                checkpoint_name(jnp.stack(slot), PLAN_TAG))
     return in_idx, None, None
 
 

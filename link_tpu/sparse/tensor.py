@@ -51,6 +51,11 @@ class ConvPlan:
     slot: Any = None           # (K, M_out) int8 | None
     groups: Any = struct.field(pytree_node=False, default=None)
     # ^ tuple of tuples of tap ids (run order) | None
+    inv_idx: Any = None        # (K, N_in) int32 | None — inverse kernel
+    # map (built lazily by conv.invert_plan): inv_idx[k, i] = the output
+    # row j with in_idx[k, j] == i, or -1. Lets the TRANSPOSED apply run
+    # as gather+matmul instead of scatter-add (gathers are ~4x cheaper
+    # than f32 scatter-adds on TPU — PLAN.md round-2 profile).
 
     @property
     def window(self) -> int:

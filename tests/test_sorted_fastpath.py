@@ -54,6 +54,31 @@ class TestBracketedSearch:
         brk = coordlib.lower_bound_rows_bracketed(rows, q_hi, q_lo, sample=32)
         np.testing.assert_array_equal(np.asarray(full), np.asarray(brk))
 
+    def test_cliffs_and_capacity_overflow(self):
+        """Density cliffs force the hard-lane pass; a tiny hard capacity
+        (hard_div huge) forces the while backstop. Results must stay
+        exact either way."""
+        rng = np.random.default_rng(9)
+        n = 2048
+        # table clustered in tight islands separated by huge key gaps
+        islands = np.sort(rng.choice(50, 8, replace=False)) * 10 ** 7
+        keys = np.sort(np.concatenate(
+            [base + np.sort(rng.choice(3000, n // 8, replace=False))
+             for base in islands])).astype(np.int64)
+        rows = np.zeros((n, 8), np.int32)
+        rows[:, 0] = keys // 1000
+        rows[:, 1] = keys % 1000
+        rows = jnp.asarray(rows)
+        # queries jump across every island boundary (cliff brackets)
+        qk = np.sort(rng.integers(0, islands[-1] + 10 ** 7, 997))
+        q_hi = jnp.asarray(qk // 1000, jnp.int32)
+        q_lo = jnp.asarray(qk % 1000, jnp.int32)
+        full = coordlib.lower_bound_rows(rows, q_hi, q_lo)
+        for hard_div in (8, 10 ** 9):   # normal | force backstop
+            brk = coordlib.lower_bound_rows_bracketed(
+                rows, q_hi, q_lo, sample=16, hard_div=hard_div)
+            np.testing.assert_array_equal(np.asarray(full), np.asarray(brk))
+
 
 class TestSortedWindowedConv:
     @pytest.mark.parametrize("ks,tensor_stride", [(3, 1), (3, 2), (2, 1)])
