@@ -163,6 +163,10 @@ def fill_infos(args):
             "path": os.path.join(args.split, "lidar", frame_name),
             "anno_path": os.path.join(args.split, "annos", frame_name),
             "token": frame_name, "timestamp": ref_time, "sweeps": sweeps,
+            # global pose, needed by tools/waymo_track.py to lift boxes
+            # into the global frame (reference reads it from the annos)
+            "veh_to_global": np.asarray(ref_obj["veh_to_global"],
+                                        np.float64),
         }
         # raw-pickle boxes -> det3d convention + names + zero-point drop
         # (waymo_common.py:260-276)

@@ -58,6 +58,9 @@ def main():
     ap.add_argument("--two-stage-checkpoint", default=None,
                     help="orbax/pickle checkpoint for the refinement head")
     ap.add_argument("--out", default=None, help="write predictions json")
+    ap.add_argument("--save-vis", default=None,
+                    help="write a visualization pkl (points + detections "
+                         "+ gt) for tools/demo.py")
     args = ap.parse_args()
 
     import jax
@@ -246,6 +249,16 @@ def main():
             for k in ("gt_attributes", "gt_num_pts"):
                 if k in s:
                     rec[k] = s[k]
+        if args.save_vis:
+            # recover the (voxel-capped) cloud from the voxel buffers:
+            # each voxel row stores its first max_points raw points
+            v, c = s["voxels"], s["num_points"]
+            pts = np.concatenate([v[j, :c[j], :3] for j in range(len(c))]) \
+                if len(c) else np.zeros((0, 3), np.float32)
+            rec["_vis"] = {"points": pts,
+                           "detections": {"box3d_lidar": pb, "scores": ps,
+                                          "label_preds": pl},
+                           "gt_boxes": s.get("gt_boxes")}
         samples.append(rec)
         if (i + 1) % 50 == 0:
             print(f"[{i+1}/{n}]", flush=True)
@@ -255,6 +268,13 @@ def main():
         mid = latencies[third:2 * third]
         print(f"latency (middle third): {np.mean(mid)*1000:.1f} ms "
               f"({1/np.mean(mid):.2f} samples/s)")
+
+    if args.save_vis:
+        import pickle
+        os.makedirs(os.path.dirname(args.save_vis) or ".", exist_ok=True)
+        with open(args.save_vis, "wb") as f:
+            pickle.dump([s.pop("_vis") for s in samples], f)
+        print("wrote", args.save_vis)
 
     if args.out:
         os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
