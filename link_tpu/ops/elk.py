@@ -66,7 +66,8 @@ def aux_to_voxel(aux: SparseTensor, x: SparseTensor, idx_query: jnp.ndarray,
     # stays in per-tap gather form.
     table = coordlib.build_table(aux.coords, assume_sorted=True)
     nb_idx, _, _ = coordlib.grouped_window_query(
-        table, aux.coords, offsets, 1, queries_sorted=True)
+        table, aux.coords, offsets, 1, queries_sorted=True,
+        self_query=True)
     nb_idx = nb_idx.T                                           # (M_aux, r^3)
 
     f = jnp.concatenate(

@@ -54,7 +54,10 @@ def build_conv_plan(in_coords: jnp.ndarray,
     if quantum and coordlib.can_group_offsets(offs_np, quantum):
         in_idx, base_pos, slot = coordlib.grouped_window_query(
             table, out_coords, offs_np, quantum,
-            queries_sorted=out_sorted, identity_perm=in_sorted)
+            queries_sorted=out_sorted, identity_perm=in_sorted,
+            # submanifold convs query the table's own rows: the center
+            # (dy,dz) group then needs no search (see _self_group_pos)
+            self_query=in_sorted and out_coords is in_coords)
         groups = None
         if base_pos is not None:
             groups = tuple(tuple(t for _, t in taps)

@@ -213,24 +213,45 @@ def lower_bound_rows_bracketed(rows: jnp.ndarray, q_hi: jnp.ndarray,
 
     # --- phase 2: static refine for narrow brackets
     r_steps = max(1, int(np.ceil(np.log2(sample))) + 1)
-    easy = (hi_i - lo_i) < (1 << r_steps)
+    nseg = coarse.shape[-1]
+    easy_seg = (upper - coarse) < (1 << r_steps)             # (..., nseg)
+    easy = jnp.broadcast_to(easy_seg[..., seg], lead + (m,))
     pos = _gallop_steps(rows, q_hi, q_lo, lo_i, hi_i, r_steps)
     lo_i = jnp.where(easy, pos, lo_i)
     hi_i = jnp.where(easy, pos, hi_i)
 
-    # --- phase 3: compact hard queries (cliff brackets) to fixed capacity
-    total = int(np.prod(lead, dtype=np.int64)) * m if lead else m
-    cap = max(128, total // hard_div)
-    hard = (~easy).reshape(-1)
-    hidx = jnp.nonzero(hard, size=cap, fill_value=total)[0]
+    # --- phase 3: compact hard SEGMENTS (cliff brackets) to a fixed
+    # capacity. Segment-level compaction on purpose: an element-level
+    # nonzero is a cumsum over every query (measured ~15 ms/forward on
+    # chip); over segments it is sample× smaller.
+    total = (int(np.prod(lead, dtype=np.int64)) if lead else 1) * m
+    total_seg = (total // m) * nseg
+    seg_cap = max(8, total_seg // hard_div)
+    hs = jnp.nonzero(~easy_seg.reshape(-1), size=seg_cap,
+                     fill_value=total_seg)[0]
+    valid_s = hs < total_seg
+    g_i = jnp.minimum(hs // nseg, max(total // m - 1, 0))
+    c_i = hs % nseg
+    base = jnp.where(valid_s, g_i * m + c_i * sample, total)
+    off = jnp.arange(sample, dtype=jnp.int32)[None, :]
+    block = base[:, None] + off
+    # mask fill segments and the ragged tail of the LAST segment (those
+    # positions belong to the next group's queries)
+    in_seg = valid_s[:, None] & (c_i[:, None] * sample + off < m)
+    block = jnp.where(in_seg, block, total)
     sent = jnp.asarray([INT32_MAX], jnp.int32)
-    qh = jnp.concatenate([q_hi.reshape(-1), sent])[hidx]
-    ql = jnp.concatenate([q_lo.reshape(-1), sent])[hidx]
-    res_h = _gallop_steps(rows, qh, ql, 0, n, full_steps)
-    lo_i = lo_i.reshape(-1).at[hidx].set(res_h, mode="drop").reshape(
-        lead + (m,))
-    hi_i = hi_i.reshape(-1).at[hidx].set(res_h, mode="drop").reshape(
-        lead + (m,))
+    qh = jnp.concatenate([q_hi.reshape(-1), sent])[block]
+    ql = jnp.concatenate([q_lo.reshape(-1), sent])[block]
+    start = jnp.where(valid_s, coarse.reshape(-1)[jnp.minimum(
+        hs, total_seg - 1)], 0)[:, None]
+    bound = jnp.where(valid_s, upper.reshape(-1)[jnp.minimum(
+        hs, total_seg - 1)], 0)[:, None]
+    res_h = _gallop_steps(rows, qh, ql, start, bound, full_steps)
+    flat_idx = block.reshape(-1)
+    lo_i = lo_i.reshape(-1).at[flat_idx].set(
+        res_h.reshape(-1), mode="drop").reshape(lead + (m,))
+    hi_i = hi_i.reshape(-1).at[flat_idx].set(
+        res_h.reshape(-1), mode="drop").reshape(lead + (m,))
 
     # --- backstop: exact for any input even past phase-3 capacity
     def cond(carry):
@@ -378,10 +399,27 @@ def offset_groups(offsets: np.ndarray):
     return glist
 
 
+def _self_group_pos(rows: jnp.ndarray, q_hi: jnp.ndarray, q_lo: jnp.ndarray,
+                    identity: bool, m: int) -> jnp.ndarray:
+    """Base positions of the (dy, dz) == (0, 0) group when the queries ARE
+    the table rows in table order. identity (ox0 == 0): position is the
+    own row index — zero probes. ox0 == -quantum: the target key differs
+    only in x's low bits, so its lower bound is the immediately preceding
+    row iff that row's key >= target, else the own row — ONE row probe."""
+    i_arr = jnp.arange(m, dtype=jnp.int32)
+    if identity:
+        return i_arr
+    prev = rows[jnp.maximum(i_arr - 1, 0)]
+    p_hi, p_lo = prev[:, 0], prev[:, 1]
+    ge = (p_hi > q_hi) | ((p_hi == q_hi) & (p_lo >= q_lo))
+    return jnp.where((i_arr > 0) & ge, i_arr - 1, i_arr)
+
+
 def grouped_window_query(table: "CoordTable", base_coords: jnp.ndarray,
                          offsets: np.ndarray, quantum: int,
                          queries_sorted: bool = False,
-                         identity_perm: bool = False):
+                         identity_perm: bool = False,
+                         self_query: bool = False):
     """Kernel-window join exploiting sorted-key adjacency.
 
     For each base coordinate and each tap offset (K, 3), find the table row
@@ -406,6 +444,12 @@ def grouped_window_query(table: "CoordTable", base_coords: jnp.ndarray,
       slot:     (K, M) int8 window slot of each tap's hit relative to its
                 group's base_pos, -1 miss (None unless identity_perm).
 
+    `self_query=True` asserts base_coords ARE the table's own coords in
+    table-row order, which makes the (dy, dz) == (0, 0) group's search
+    algebraically free: the identity tap sits at its own row index, and
+    the ks3 center group's base (x - q, y, z) is either the immediately
+    preceding row or the row itself — ONE key probe instead of a search.
+
     Requires every group to be a quantum run — callers check
     `can_group_offsets` first.
     """
@@ -427,11 +471,37 @@ def grouped_window_query(table: "CoordTable", base_coords: jnp.ndarray,
     q_hi, q_lo = pack_coords(q_all.reshape(-1, 4))
     q_hi = q_hi.reshape(g, m)
     q_lo = q_lo.reshape(g, m)
+
+    # self-query shortcut: the (dy,dz)=(0,0) group needs no search
+    free_gi = None
+    if self_query:
+        for gi, ((ox0, oy, oz), _) in enumerate(glist):
+            if oy == 0 and oz == 0 and ox0 in (0, -quantum):
+                free_gi = gi
+                free_pos = _self_group_pos(table.rows, q_hi[gi], q_lo[gi],
+                                           ox0 == 0, m)
+                break
+
+    search_gis = np.asarray([gi for gi in range(g) if gi != free_gi])
     if queries_sorted:
-        pos = lower_bound_rows_bracketed(table.rows, q_hi, q_lo)
+        pos_s = lower_bound_rows_bracketed(table.rows, q_hi[search_gis],
+                                           q_lo[search_gis])
     else:
-        pos = table.lower_bound(q_hi.reshape(-1),
-                                q_lo.reshape(-1)).reshape(g, m)
+        pos_s = table.lower_bound(
+            q_hi[search_gis].reshape(-1),
+            q_lo[search_gis].reshape(-1)).reshape(len(search_gis), m)
+    if free_gi is None:
+        pos = pos_s
+    else:
+        parts = []
+        si = 0
+        for gi in range(g):
+            if gi == free_gi:
+                parts.append(free_pos)
+            else:
+                parts.append(pos_s[si])
+                si += 1
+        pos = jnp.stack(parts)
 
     n = table.rows.shape[0]
     # shifted-concat key window: one (M, 3*gmax) gather per group replaces

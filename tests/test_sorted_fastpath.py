@@ -158,3 +158,26 @@ class TestSortedWindowedConv:
         g_u = jax.grad(lambda f: loss(f, False))(f)
         np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_u),
                                    atol=1e-4, rtol=1e-4)
+
+
+class TestSelfQueryShortcut:
+    @pytest.mark.parametrize("ks", [2, 3])
+    def test_matches_searched_join(self, ks):
+        rng = np.random.default_rng(17)
+        cap = 512
+        coords, feats = oracles.random_cloud(rng, cap - 50, batch=2,
+                                             channels=4)
+        coords, _ = sort_cloud(coords, feats)
+        cp = jnp.asarray(pad_coords(coords, cap))
+        table = coordlib.build_table(cp, assume_sorted=True)
+        offsets = coordlib.kernel_offsets_np(ks, stride=1)
+        a = coordlib.grouped_window_query(table, cp, offsets, 1,
+                                          queries_sorted=True,
+                                          identity_perm=True,
+                                          self_query=False)
+        b = coordlib.grouped_window_query(table, cp, offsets, 1,
+                                          queries_sorted=True,
+                                          identity_perm=True,
+                                          self_query=True)
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+        np.testing.assert_array_equal(np.asarray(a[2]), np.asarray(b[2]))
