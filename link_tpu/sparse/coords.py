@@ -162,7 +162,10 @@ def lower_bound_rows(rows: jnp.ndarray, q_hi: jnp.ndarray,
 
 
 # coarse-sample spacing for the bracketed search; tuned on-chip via
-# tools/microbench_conv.py --sample
+# tools/microbench_conv.py --sample. Round 2 at stem scale: 8 -> 7.07 ms,
+# 16 -> 6.72, 32 -> 6.98, 64 -> 30.2 (hard-lane capacity overflow ->
+# backstop) — but END-TO-END 16 measured 4.19 scans/s vs 4.24 at 32
+# (smaller levels pay the denser coarse pass), so 32 stays.
 BRACKET_SAMPLE = 32
 
 
