@@ -187,15 +187,14 @@ def apply_conv_plan(feats: jnp.ndarray, weight: jnp.ndarray, plan: ConvPlan,
             [feats, jnp.zeros((1, ci), feats.dtype)], axis=0)
         idx = jnp.where(plan.in_idx >= 0, plan.in_idx, n_in)   # (K, M_out)
 
-        def body(acc, xs):
-            idx_k, w_k = xs
-            x = feats_ext[idx_k]                               # (M_out, Ci)
-            acc = acc + jnp.dot(x, w_k.astype(x.dtype),
+        # UNROLLED tap loop (not lax.scan): the scan's sequential carry
+        # serializes the per-tap gathers; unrolled they pipeline against
+        # the matmuls (measured 8.35 vs 8.76 ms at stem scale, round 2)
+        acc = jnp.zeros((plan.out_capacity, co), jnp.float32)
+        for kk in range(k):
+            x = feats_ext[idx[kk]]                             # (M_out, Ci)
+            acc = acc + jnp.dot(x, weight[kk].astype(x.dtype),
                                 preferred_element_type=jnp.float32)
-            return acc, None
-
-        init = jnp.zeros((plan.out_capacity, co), jnp.float32)
-        acc, _ = jax.lax.scan(body, init, (idx, weight))
         return acc.astype(feats.dtype)
     else:
         # feats live on the plan's *output* side; result on its input side.
@@ -210,15 +209,11 @@ def apply_conv_plan(feats: jnp.ndarray, weight: jnp.ndarray, plan: ConvPlan,
                 [feats, jnp.zeros((1, ci), feats.dtype)], axis=0)
             idx = jnp.where(plan.inv_idx >= 0, plan.inv_idx, n_src)
 
-            def gbody(acc, xs):
-                idx_k, w_k = xs
-                x = feats_ext[idx_k]                           # (N_in, Ci)
-                acc = acc + jnp.dot(x, w_k.astype(x.dtype),
+            acc = jnp.zeros((m_in, co), jnp.float32)
+            for kk in range(k):                    # unrolled, see forward
+                x = feats_ext[idx[kk]]                         # (N_in, Ci)
+                acc = acc + jnp.dot(x, weight[kk].astype(x.dtype),
                                     preferred_element_type=jnp.float32)
-                return acc, None
-
-            init = jnp.zeros((m_in, co), jnp.float32)
-            acc, _ = jax.lax.scan(gbody, init, (idx, weight))
             return acc.astype(feats.dtype)
 
         def body(acc, xs):
