@@ -171,7 +171,7 @@ BRACKET_SAMPLE = 32
 
 def lower_bound_rows_bracketed(rows: jnp.ndarray, q_hi: jnp.ndarray,
                                q_lo: jnp.ndarray, sample: int = None,
-                               hard_div: int = 8) -> jnp.ndarray:
+                               hard_div: int = 16) -> jnp.ndarray:
     """Lower bound for queries SORTED ascending along the last axis.
 
     Exploits monotonicity of lower-bound positions over sorted queries.
@@ -218,8 +218,15 @@ def lower_bound_rows_bracketed(rows: jnp.ndarray, q_hi: jnp.ndarray,
     r_steps = max(1, int(np.ceil(np.log2(sample))) + 1)
     nseg = coarse.shape[-1]
     easy_seg = (upper - coarse) < (1 << r_steps)             # (..., nseg)
+    # padding queries (INT32_MAX keys) sort last and form one huge
+    # end-bracket per group; their answers are never used (every caller
+    # masks hits on key validity), so mark pad-started segments easy and
+    # pin their lanes — otherwise padding dominates the hard pass
+    pad_seg = c_hi == INT32_MAX
+    easy_seg = easy_seg | pad_seg
     easy = jnp.broadcast_to(easy_seg[..., seg], lead + (m,))
     pos = _gallop_steps(rows, q_hi, q_lo, lo_i, hi_i, r_steps)
+    pos = jnp.where(q_hi == INT32_MAX, n, pos)
     lo_i = jnp.where(easy, pos, lo_i)
     hi_i = jnp.where(easy, pos, hi_i)
 
