@@ -181,3 +181,24 @@ class TestSelfQueryShortcut:
                                           self_query=True)
         np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
         np.testing.assert_array_equal(np.asarray(a[2]), np.asarray(b[2]))
+
+
+def test_bracketed_with_padding_queries():
+    """INT32_MAX padding queries (sorted last) must not perturb valid
+    lanes; their own results are unused but the valid ones are exact."""
+    rng = np.random.default_rng(21)
+    n = 1024
+    keys = np.sort(rng.choice(10 ** 6, n, replace=False)).astype(np.int64)
+    rows = np.zeros((n, 8), np.int32)
+    rows[:, 0] = keys // 1000
+    rows[:, 1] = keys % 1000
+    rows = jnp.asarray(rows)
+    qv = np.sort(rng.integers(0, 10 ** 6, 700))
+    q_hi = np.concatenate([qv // 1000, np.full(300, 2 ** 31 - 1)])
+    q_lo = np.concatenate([qv % 1000, np.full(300, 2 ** 31 - 1)])
+    q_hi = jnp.asarray(q_hi, jnp.int32)
+    q_lo = jnp.asarray(q_lo, jnp.int32)
+    full = coordlib.lower_bound_rows(rows, q_hi, q_lo)
+    brk = coordlib.lower_bound_rows_bracketed(rows, q_hi, q_lo, sample=32)
+    np.testing.assert_array_equal(np.asarray(full)[:700],
+                                  np.asarray(brk)[:700])
