@@ -215,6 +215,11 @@ def lower_bound_rows_bracketed(rows: jnp.ndarray, q_hi: jnp.ndarray,
     hi_i = jnp.where(exact, lo_i, hi_i)
 
     # --- phase 2: static refine for narrow brackets
+    # log2(sample)+1 probes finish brackets narrower than 2*sample.
+    # log2(sample) measured 3.48 scans/s e2e vs 4.41: brackets of width
+    # [sample, 2*sample) are common (densities vary ~2x), and dropping
+    # them all into the hard pass overflows its capacity into the
+    # backstop. Keep the +1.
     r_steps = max(1, int(np.ceil(np.log2(sample))) + 1)
     nseg = coarse.shape[-1]
     easy_seg = (upper - coarse) < (1 << r_steps)             # (..., nseg)
