@@ -5,6 +5,7 @@ decode and host post-processing that unit tests miss."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from link_tpu.data import det_pipeline as dp
 from link_tpu.models.voxelnet import VoxelNet
@@ -84,3 +85,48 @@ def test_detection_eval_path_runs():
     m = NE.evaluate_nuscenes(gt_c, pr_c, sc_c, attrs_by_class=at_c)
     assert 0.0 <= m["nds"] <= 1.0
     assert 0.0 <= m["mean_ap"] <= 1.0
+
+
+@pytest.mark.slow
+def test_voxelnet_bev_feeds_two_stage():
+    """Seam test: VoxelNet(return_bev=True) output, transposed to
+    (H, W, C), must drive TwoStageRefinement without shape errors (the
+    RPN emits channels-first; round-2 caught a silent layout mismatch
+    here)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from link_tpu.data import det_pipeline as dp
+    from link_tpu.models.voxelnet import VoxelNet
+    from link_tpu.models import two_stage as TS
+
+    rng = np.random.default_rng(5)
+    pr = (-12, -12, -2, 12, 12, 2)
+    pts = rng.uniform(-11, 11, (2000, 5)).astype(np.float32)
+    voxels, coors, nppv = dp.points_to_voxel(pts, (0.5, 0.5, 0.1), pr,
+                                             max_points=5, max_voxels=4000)
+    batch = dp.collate_det([{"voxels": voxels, "coords_zyx": coors,
+                             "num_points": nppv}], 4096, max_points=5)
+    model = VoxelNet(num_input_features=5, batch_size=1,
+                     grid_shape=(48, 48, 40),
+                     capacities=(4096, 2048, 1024, 512), return_bev=True)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.asarray(batch["voxels"]),
+                           jnp.asarray(batch["coords"]),
+                           jnp.asarray(batch["num_points"]),
+                           jnp.asarray(batch["nnz"]), False)
+    _, bev = model.apply(variables, jnp.asarray(batch["voxels"]),
+                         jnp.asarray(batch["coords"]),
+                         jnp.asarray(batch["num_points"]),
+                         jnp.asarray(batch["nnz"]), False)
+    assert bev.ndim == 4                       # (B, C, H', W')
+    bev0 = jnp.transpose(bev[0], (1, 2, 0))    # -> (H', W', C)
+    refine = TS.TwoStageRefinement(
+        bev_channels=int(bev0.shape[-1]), num_point=5, code_size=9,
+        pc_start=(-12.0, -12.0), voxel_size=(0.5, 0.5), out_stride=4)
+    rois = jnp.zeros((8, 9)).at[:, 3:6].set(1.0)
+    rv = refine.init(jax.random.PRNGKey(1), bev0, rois, jnp.zeros((8,)),
+                     False)
+    iou, reg = refine.apply(rv, bev0, rois, jnp.zeros((8,)), False)
+    assert iou.shape == (8,) and reg.shape == (8, 9)
+    assert np.isfinite(np.asarray(iou)).all()

@@ -224,7 +224,8 @@ def main():
                           np.zeros(0, np.int64))
 
         if args.two_stage and len(pb):
-            bev0 = bev_out[0]                  # (H, W, C) first in batch
+            # RPN emits (B, C, H, W); the refinement samples (H, W, C)
+            bev0 = jnp.transpose(bev_out[0], (1, 2, 0))
             if refine_vars is None:
                 refine_vars = refine.init(
                     jax.random.PRNGKey(1), bev0,

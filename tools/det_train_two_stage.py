@@ -161,7 +161,8 @@ def main():
                 TS.reorder_to_roi_layout(pb), ps, pl,
                 s["gt_boxes"], s["gt_classes"], rng)
             r_params, r_bs, opt_state, loss, cl, rl = train_step(
-                r_params, r_bs, opt_state, bev[0],
+                # RPN emits (B, C, H, W); the refinement samples (H, W, C)
+                r_params, r_bs, opt_state, jnp.transpose(bev[0], (1, 2, 0)),
                 jnp.asarray(t["rois"]), jnp.asarray(t["roi_scores"]),
                 jnp.asarray(t["cls_labels"]), jnp.asarray(t["gt_of_rois"]),
                 jnp.asarray(t["reg_mask"]))
