@@ -36,6 +36,12 @@ def main():
                     default="data/nuScenes/infos_train_10sweeps_withvelo_filter_True.pkl")
     ap.add_argument("--root-path", default="data/nuScenes")
     ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--gt-proposals", action="store_true",
+                    help="augment proposals with jittered GT boxes — "
+                         "gives the RoI head foreground supervision even "
+                         "when the first stage is untrained (synthetic "
+                         "validation); with a trained first stage the "
+                         "reference gets fg from real proposals")
     ap.add_argument("--steps", type=int, default=0, help="0 = one epoch")
     ap.add_argument("--epochs", type=int, default=6)
     ap.add_argument("--lr", type=float, default=3e-4)
@@ -152,11 +158,19 @@ def main():
                 boxes_l.append(bx[keep])
                 scores_l.append(np.asarray(scores[0])[m][keep])
                 labels_l.append(np.asarray(labels[0])[m][keep])
-            if not boxes_l:
+            if not boxes_l and not args.gt_proposals:
                 continue
-            pb = np.concatenate(boxes_l)
-            ps = np.concatenate(scores_l)
-            pl = np.concatenate(labels_l)
+            pb = np.concatenate(boxes_l) if boxes_l else np.zeros((0, 9))
+            ps = np.concatenate(scores_l) if scores_l else np.zeros(0)
+            pl = np.concatenate(labels_l) if labels_l else np.zeros(0, np.int64)
+            if args.gt_proposals and len(s["gt_boxes"]):
+                jit = s["gt_boxes"] + rng.normal(
+                    0, 0.1, s["gt_boxes"].shape).astype(np.float32)
+                pb = np.concatenate([pb, jit]) if len(pb) else jit
+                ps = np.concatenate(
+                    [ps, np.full(len(jit), 0.5, np.float32)])
+                pl = np.concatenate(
+                    [pl, s["gt_classes"].astype(pl.dtype)])
             t = TS.assign_roi_targets(
                 TS.reorder_to_roi_layout(pb), ps, pl,
                 s["gt_boxes"], s["gt_classes"], rng)
