@@ -171,7 +171,8 @@ BRACKET_SAMPLE = 32
 
 def lower_bound_rows_bracketed(rows: jnp.ndarray, q_hi: jnp.ndarray,
                                q_lo: jnp.ndarray, sample: int = None,
-                               hard_div: int = 16) -> jnp.ndarray:
+                               hard_div: int = 16,
+                               refine_extra: int = 0) -> jnp.ndarray:
     """Lower bound for queries SORTED ascending along the last axis.
 
     Exploits monotonicity of lower-bound positions over sorted queries.
@@ -220,7 +221,10 @@ def lower_bound_rows_bracketed(rows: jnp.ndarray, q_hi: jnp.ndarray,
     # [sample, 2*sample) are common (densities vary ~2x), and dropping
     # them all into the hard pass overflows its capacity into the
     # backstop. Keep the +1.
-    r_steps = max(1, int(np.ceil(np.log2(sample))) + 1)
+    # refine_extra: callers whose queries sample the table more coarsely
+    # than 1:1 (strided-conv joins: each query advances ~s table rows)
+    # deepen the refine so typical brackets still converge statically
+    r_steps = max(1, int(np.ceil(np.log2(sample))) + 1 + refine_extra)
     nseg = coarse.shape[-1]
     easy_seg = (upper - coarse) < (1 << r_steps)             # (..., nseg)
     # padding queries (INT32_MAX keys) sort last and form one huge
@@ -434,7 +438,8 @@ def grouped_window_query(table: "CoordTable", base_coords: jnp.ndarray,
                          offsets: np.ndarray, quantum: int,
                          queries_sorted: bool = False,
                          identity_perm: bool = False,
-                         self_query: bool = False):
+                         self_query: bool = False,
+                         refine_extra: int = 0):
     """Kernel-window join exploiting sorted-key adjacency.
 
     For each base coordinate and each tap offset (K, 3), find the table row
@@ -500,7 +505,8 @@ def grouped_window_query(table: "CoordTable", base_coords: jnp.ndarray,
     search_gis = np.asarray([gi for gi in range(g) if gi != free_gi])
     if queries_sorted:
         pos_s = lower_bound_rows_bracketed(table.rows, q_hi[search_gis],
-                                           q_lo[search_gis])
+                                           q_lo[search_gis],
+                                           refine_extra=refine_extra)
     else:
         pos_s = table.lower_bound(
             q_hi[search_gis].reshape(-1),

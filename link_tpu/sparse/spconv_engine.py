@@ -49,21 +49,33 @@ def spconv_downsample(coords: jnp.ndarray, kernel_size, stride, padding,
     """Enumerate the spconv output coordinate set: all j reachable from any
     input voxel through any tap, clipped to out_shape. Returns
     (out_coords, out_nnz)."""
-    taps = _tap_offsets(kernel_size)                      # (K, 3)
     s = jnp.asarray(stride, jnp.int32)
     p = jnp.asarray(padding, jnp.int32)
+    ks_np = np.asarray(kernel_size)
+    s_np = np.asarray(stride)
     xyz = coords[:, :3]
-    # j*s = i + p - t  ->  valid iff divisible by s and in range.
-    num = xyz[None, :, :] + p[None, None, :] - jnp.asarray(taps)[:, None, :]
-    divisible = (num % s[None, None, :]) == 0
-    j = num // s[None, None, :]
-    in_range = (j >= 0) & (j < jnp.asarray(out_shape, jnp.int32)[None, None, :])
-    pad_row = (xyz[:, 0] <= coordlib.INVALID_COORD)[None, :, None]
-    ok = jnp.all(divisible & in_range, axis=-1, keepdims=True) & ~pad_row
-    j = jnp.where(ok, j, jnp.int32(coordlib.INVALID_COORD))
-    b = jnp.broadcast_to(coords[None, :, 3:], j.shape[:2] + (1,))
-    cand = jnp.concatenate([j, jnp.where(ok, b, jnp.int32(coordlib.INVALID_COORD))],
-                           axis=-1).reshape(-1, 4)
+    # An input i reaches outputs j with 0 <= (i+p) - j*s < ks, i.e. at
+    # most ceil(ks/s) distinct j PER DIM — enumerate those instead of all
+    # K taps (ks3/s2: 8 candidates vs 27; the unique sort below is the
+    # cost, measured ~120 ms/fwd at det scale before this reduction).
+    n_per = [int((ks_np[a] - 1) // s_np[a]) + 1 for a in range(3)]
+    base = (xyz + p[None, :]) // s[None, :]               # floor j per dim
+    out_sh = jnp.asarray(out_shape, jnp.int32)
+    pad_row = (xyz[:, 0] <= coordlib.INVALID_COORD)[:, None]
+    cands = []
+    for mx in range(n_per[0]):
+        for my in range(n_per[1]):
+            for mz in range(n_per[2]):
+                j = base - jnp.asarray([mx, my, mz], jnp.int32)[None, :]
+                t = xyz + p[None, :] - j * s[None, :]     # tap index
+                ok = jnp.all((t >= 0) & (t < jnp.asarray(ks_np)[None, :])
+                             & (j >= 0) & (j < out_sh[None, :]),
+                             axis=-1, keepdims=True) & ~pad_row
+                jj = jnp.where(ok, j, jnp.int32(coordlib.INVALID_COORD))
+                b = jnp.where(ok, coords[:, 3:],
+                              jnp.int32(coordlib.INVALID_COORD))
+                cands.append(jnp.concatenate([jj, b], axis=-1))
+    cand = jnp.concatenate(cands, axis=0)
     out_coords, _, out_nnz = coordlib.unique_coords(cand, out_capacity)
     return out_coords, out_nnz
 
@@ -81,10 +93,31 @@ def build_spconv_plan(in_coords: jnp.ndarray, out_coords: jnp.ndarray,
     p = np.asarray(padding, np.int32)
     table = coordlib.build_table(in_coords, assume_sorted=in_sorted)
     eff_offs = taps - p[None, :]
-    if (s == 1).all() and coordlib.can_group_offsets(eff_offs, 1):
+    if coordlib.can_group_offsets(eff_offs, 1):
+        # Grouped/bracketed join works for STRIDED convs too: the query
+        # base is out_coords * s, and scaling by a positive stride
+        # preserves pack-key order, so out_sorted still enables the
+        # bracketed search (this path was gated to stride 1 before —
+        # the det backbone's ks3/s2 downs ran full unsorted searches,
+        # ~half its device time).
+        if (s == 1).all():
+            base_coords = out_coords
+            selfq = in_sorted and out_coords is in_coords
+        else:
+            base_coords = jnp.concatenate(
+                [out_coords[:, :3] * jnp.asarray(s, jnp.int32)[None, :],
+                 out_coords[:, 3:]], axis=1)
+            selfq = False
+        # strided queries advance ~s table rows each, so typical brackets
+        # are ~s x wider — deepen the static refine to match (else the
+        # hard pass overflows into the while backstop, seen in the det
+        # profile as while iterations)
+        extra = int(np.ceil(np.log2(max(1, int(np.max(np.asarray(
+            stride)))))))
         in_idx, base_pos, slot = coordlib.grouped_window_query(
-            table, out_coords, eff_offs, 1,
-            queries_sorted=out_sorted, identity_perm=in_sorted)
+            table, base_coords, eff_offs, 1,
+            queries_sorted=out_sorted, identity_perm=in_sorted,
+            self_query=selfq, refine_extra=extra)
         groups = None
         if base_pos is not None:
             groups = tuple(tuple(t for _, t in g)
