@@ -34,6 +34,14 @@ def points_to_voxel(points: np.ndarray, voxel_size, pc_range,
     pc_range = np.asarray(pc_range, np.float32)
     grid = np.round((pc_range[3:6] - pc_range[:3]) / voxel_size).astype(np.int32)
 
+    from .. import native
+    if native.available() and len(points):
+        voxels, coords_zyx, nppv = native.voxelize_points(
+            points, voxel_size, pc_range, grid, max_points, max_voxels)
+        perm = np.lexsort((coords_zyx[:, 2], coords_zyx[:, 1],
+                           coords_zyx[:, 0]))
+        return voxels[perm], coords_zyx[perm], nppv[perm]
+
     c = np.floor((points[:, :3] - pc_range[:3]) / voxel_size).astype(np.int32)
     keep = ((c >= 0) & (c < grid)).all(axis=1)
     pts, c = points[keep], c[keep]
@@ -79,19 +87,28 @@ def limit_period(val, offset=0.5, period=np.pi * 2):
     return val - np.floor(val / period + offset) * period
 
 
-def gaussian_radius(det_size, min_overlap=0.5):
-    """center_utils.py:17-37."""
+def gaussian_radius(det_size, min_overlap=0.5, corrected: bool = False):
+    """Heatmap radius, matching center_utils.py:17-37 BIT-FOR-BIT by
+    default: the reference keeps CornerNet's historical `(b + sqrt) / 2`
+    for r2/r3 instead of the quadratic-formula `(b + sqrt) / (2a)`, and
+    the CenterPoint recipes (69.5-NDS checkpoint targets) were trained
+    with that form — so it is the default here. `corrected=True` selects
+    the mathematically-correct roots (r2 4x smaller, r3 1/(4*overlap)x)
+    for experiments; never use it when reproducing published numbers."""
     height, width = det_size
     b1 = height + width
     c1 = width * height * (1 - min_overlap) / (1 + min_overlap)
     r1 = (b1 + np.sqrt(b1 ** 2 - 4 * c1)) / 2
+    a2 = 4
     b2 = 2 * (height + width)
     c2 = (1 - min_overlap) * width * height
-    r2 = (b2 + np.sqrt(b2 ** 2 - 16 * c2)) / 8
+    sq2 = np.sqrt(b2 ** 2 - 4 * a2 * c2)
+    r2 = (b2 + sq2) / (2 * a2) if corrected else (b2 + sq2) / 2
     a3 = 4 * min_overlap
     b3 = -2 * min_overlap * (height + width)
     c3 = (min_overlap - 1) * width * height
-    r3 = (b3 + np.sqrt(b3 ** 2 - 4 * a3 * c3)) / (2 * a3)
+    sq3 = np.sqrt(b3 ** 2 - 4 * a3 * c3)
+    r3 = (b3 + sq3) / (2 * a3) if corrected else (b3 + sq3) / 2
     return min(r1, r2, r3)
 
 

@@ -34,15 +34,20 @@ IOU_THRESH = {"VEHICLE": 0.7, "PEDESTRIAN": 0.5, "CYCLIST": 0.5}
 def accumulate_class(gt_boxes: List[np.ndarray],
                      pred_boxes: List[np.ndarray],
                      pred_scores: List[np.ndarray], iou_th: float,
-                     gt_keep: Optional[List[np.ndarray]] = None) -> float:
-    """AP for one class over samples. gt_keep masks gts for the difficulty
-    bucket; ignored gts neither count as positives nor convert matched
-    preds into false positives (official ignore semantics)."""
+                     gt_keep: Optional[List[np.ndarray]] = None):
+    """(AP, APH) for one class over samples. gt_keep masks gts for the
+    difficulty bucket; ignored gts neither count as positives nor convert
+    matched preds into false positives (official ignore semantics).
+
+    APH is the official heading-weighted AP (waymo_common.py:52-115 gets
+    it from the toolkit): each true positive's contribution to BOTH the
+    precision numerator and the recall is scaled by the heading accuracy
+    h = 1 - |Δheading| / π, with Δheading wrapped to [-π, π]."""
     if gt_keep is None:
         gt_keep = [np.ones(len(g), bool) for g in gt_boxes]
     npos = int(sum(k.sum() for k in gt_keep))
     if npos == 0:
-        return float("nan")
+        return float("nan"), float("nan")
 
     rows = []
     for si, (preds, scores) in enumerate(zip(pred_boxes, pred_scores)):
@@ -54,7 +59,7 @@ def accumulate_class(gt_boxes: List[np.ndarray],
             else np.zeros((len(p), len(g)))
             for p, g in zip(pred_boxes, gt_boxes)]
     taken = [np.zeros(len(g), bool) for g in gt_boxes]
-    tp, fp = [], []
+    tp, fp, hw = [], [], []
     for score, si, j in rows:
         iou_row = ious[si][j] if ious[si].shape[1] else np.zeros(0)
         cand = np.where(~taken[si], iou_row, -1.0)
@@ -64,30 +69,41 @@ def accumulate_class(gt_boxes: List[np.ndarray],
             if gt_keep[si][best]:
                 tp.append(1)
                 fp.append(0)
+                delta = (pred_boxes[si][j, 6] - gt_boxes[si][best, 6]) \
+                    % (2 * np.pi)
+                delta = min(delta, 2 * np.pi - delta)
+                hw.append(max(0.0, 1.0 - delta / np.pi))
             # matched an ignored gt: drop from both counts
         else:
             tp.append(0)
             fp.append(1)
+            hw.append(0.0)
 
     if not tp:
-        return 0.0
+        return 0.0, 0.0
     tpc = np.cumsum(tp).astype(float)
     fpc = np.cumsum(fp).astype(float)
-    prec = tpc / np.maximum(tpc + fpc, 1e-9)
-    rec = tpc / npos
+    hwc = np.cumsum(hw)
     rec_i = np.linspace(0, 1, 101)
-    prec_i = np.interp(rec_i, rec, prec, right=0)
-    # monotone-decreasing envelope (official p(r) uses max over r' >= r)
-    prec_i = np.maximum.accumulate(prec_i[::-1])[::-1]
-    return float(np.mean(prec_i))
+
+    def integrate(num, rec):
+        prec = num / np.maximum(tpc + fpc, 1e-9)
+        prec_i = np.interp(rec_i, rec, prec, right=0)
+        # monotone-decreasing envelope (official p(r): max over r' >= r)
+        prec_i = np.maximum.accumulate(prec_i[::-1])[::-1]
+        return float(np.mean(prec_i))
+
+    ap = integrate(tpc, tpc / npos)
+    aph = integrate(hwc, hwc / npos)
+    return ap, aph
 
 
 def evaluate_waymo(samples: List[Dict],
                    class_names: Sequence[str] = WAYMO_CLASSES) -> Dict:
     """samples: dicts with gt_boxes (N, 7+ det3d layout, heading last),
     gt_classes (1-based), pred_boxes, pred_scores, pred_labels (0-based),
-    optional gt_num_pts. Returns per-class L1/L2 AP + means."""
-    out = {"ap_l1": {}, "ap_l2": {}}
+    optional gt_num_pts. Returns per-class L1/L2 AP and APH + means."""
+    out = {"ap_l1": {}, "ap_l2": {}, "aph_l1": {}, "aph_l2": {}}
     for ci, cls in enumerate(class_names):
         gts, preds, scores, keep_l1 = [], [], [], []
         for s in samples:
@@ -108,11 +124,13 @@ def evaluate_waymo(samples: List[Dict],
             preds.append(p7)
             scores.append(np.asarray(s["pred_scores"], float)[psel])
         th = IOU_THRESH[cls]
-        out["ap_l1"][cls] = accumulate_class(gts, preds, scores, th,
-                                             gt_keep=keep_l1)
-        out["ap_l2"][cls] = accumulate_class(gts, preds, scores, th)
+        ap1, aph1 = accumulate_class(gts, preds, scores, th,
+                                     gt_keep=keep_l1)
+        ap2, aph2 = accumulate_class(gts, preds, scores, th)
+        out["ap_l1"][cls], out["aph_l1"][cls] = ap1, aph1
+        out["ap_l2"][cls], out["aph_l2"][cls] = ap2, aph2
 
-    for k in ("ap_l1", "ap_l2"):
+    for k in ("ap_l1", "ap_l2", "aph_l1", "aph_l2"):
         vals = [v for v in out[k].values() if not np.isnan(v)]
         out["m" + k] = float(np.mean(vals)) if vals else 0.0
     return out

@@ -47,7 +47,8 @@ class SingleFramePredictor:
                  class_score_floor: Optional[Dict[int, float]] = None,
                  seed: int = 0, capacity: int = 163840,
                  grid_shape=(1440, 1440, 40),
-                 test_cfg: Optional[Dict] = None):
+                 test_cfg: Optional[Dict] = None,
+                 device_nms: bool = False):
         import jax
         import jax.numpy as jnp
         jax.config.update(
@@ -95,11 +96,19 @@ class SingleFramePredictor:
         num_classes = [len(t) for t in self.model.tasks]
         self._jnp = jnp
 
+        self.device_nms = device_nms
+
         def fwd(params, bstats, voxels, coords, npts, nnz):
             preds = self.model.apply(
                 {"params": params, "batch_stats": bstats},
                 voxels, coords, npts, nnz, False)
-            return decode_boxes(preds, self.cfg, num_classes)
+            outs = decode_boxes(preds, self.cfg, num_classes)
+            if device_nms:
+                # fully on-device path (SURVEY §7.8): suppression runs in
+                # the same jit program; the host only reads final keeps
+                from link_tpu.models.center_head import device_nms as dnms
+                outs = dnms(outs, self.cfg)
+            return outs
 
         self._fwd = jax.jit(fwd)
         self._vars = None
@@ -154,6 +163,12 @@ class SingleFramePredictor:
             bx, sc, lb = (np.asarray(boxes[0])[m], np.asarray(scores[0])[m],
                           np.asarray(labels[0])[m])
             if len(bx) == 0:
+                continue
+            if self.device_nms:
+                # mask is already the post-NMS keep computed on device
+                boxes_l.append(bx)
+                scores_l.append(sc)
+                labels_l.append(lb)
                 continue
             b7 = bx[:, [0, 1, 2, 3, 4, 5, 8]]
             keep = rotate_nms_pcdet(

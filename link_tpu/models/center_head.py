@@ -249,3 +249,36 @@ def decode_boxes(preds: List[Dict], test_cfg: Dict,
         out.append((boxes, scores, labels.astype(jnp.int32), mask))
         class_offset += num_classes[t]
     return out
+
+
+def device_nms(task_outs, test_cfg: Dict, pre_max: int = 512):
+    """On-device rotated NMS over decode_boxes outputs (SURVEY §7.8: the
+    reference runs rotated NMS on-GPU, iou3d_nms_kernel.cu; this is the
+    TPU equivalent — nothing leaves the device between backbone and
+    boxes). Per task: top-k to `pre_max` candidates (the reference's
+    nms_pre_max_size cap, box_torch_ops.rotate_nms_pcdet), masked O(K^2)
+    suppression via ops.nms.rotate_nms_jax, keep capped at
+    nms_post_max_size. Returns per task (boxes (B, K, 9), scores, labels,
+    keep-mask) — same tuple contract as decode_boxes, with the mask now
+    being the post-NMS keep."""
+    from ..ops.nms import rotate_nms_jax
+
+    pre = min(pre_max, int(test_cfg.get("nms_pre_max_size", 1000)))
+    post = int(test_cfg.get("nms_post_max_size", 83))
+    th = float(test_cfg.get("nms_iou_threshold", 0.2))
+    out = []
+    for boxes, scores, labels, mask in task_outs:
+        b_, n_, _ = boxes.shape
+        k = min(pre, n_)
+        sc = jnp.where(mask, scores, -jnp.inf)
+        top_sc, top_idx = jax.lax.top_k(sc, k)
+        bx = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)
+        lb = jnp.take_along_axis(labels, top_idx, axis=1)
+        vm = jnp.take_along_axis(mask, top_idx, axis=1)
+        keeps, scs = [], []
+        for bi in range(b_):                    # B is static (1 serving)
+            bev = bx[bi][:, [0, 1, 3, 4, 8]]
+            keeps.append(rotate_nms_jax(bev, top_sc[bi], vm[bi], th, post))
+            scs.append(jnp.where(vm[bi], top_sc[bi], 0.0))
+        out.append((bx, jnp.stack(scs), lb, jnp.stack(keeps)))
+    return out

@@ -25,12 +25,14 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     _TRIED = True
     here = os.path.dirname(os.path.abspath(__file__))
     so = os.path.join(here, "libnms.so")
-    src = os.path.join(here, "nms.cpp")
+    srcs = [os.path.join(here, "nms.cpp"),
+            os.path.join(here, "voxelize.cpp")]
     try:
         if (not os.path.exists(so)
-                or os.path.getmtime(so) < os.path.getmtime(src)):
+                or any(os.path.getmtime(so) < os.path.getmtime(s)
+                       for s in srcs)):
             subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src,
+                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", *srcs,
                  "-o", so],
                 check=True, capture_output=True)
         lib = ctypes.CDLL(so)
@@ -45,6 +47,13 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float)]
         lib.iou3d_matrix.restype = None
         lib.iou3d_matrix.argtypes = lib.bev_iou_matrix.argtypes
+        lib.voxelize.restype = ctypes.c_int64
+        lib.voxelize.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32)]
         _LIB = lib
     except Exception:
         _LIB = None
@@ -71,6 +80,29 @@ def rotate_nms_sorted(boxes: np.ndarray, thresh: float,
                        post_max or 0,
                        keep.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
     return keep[:n]
+
+
+def voxelize_points(points: np.ndarray, voxel_size, pc_range, grid,
+                    max_points: int, max_voxels: int):
+    """Dense-grid hard voxelization (voxelize.cpp). Returns (voxels
+    (V, max_points, F), coords (V, 3) zyx, nppv (V,)) in first-appearance
+    order — identical semantics to the reference numba kernel."""
+    lib = _build_and_load()
+    assert lib is not None
+    pts = np.ascontiguousarray(points, np.float32)
+    n, f = pts.shape
+    vs = np.ascontiguousarray(voxel_size, np.float32)
+    pr = np.ascontiguousarray(pc_range, np.float32)
+    gr = np.ascontiguousarray(grid, np.int32)
+    voxels = np.zeros((max_voxels, max_points, f), np.float32)
+    coords = np.empty((max_voxels, 3), np.int32)
+    nppv = np.empty((max_voxels,), np.int32)
+    i32 = ctypes.POINTER(ctypes.c_int32)
+    nv = lib.voxelize(_fptr(pts), n, f, _fptr(vs), _fptr(pr),
+                      gr.ctypes.data_as(i32), max_points, max_voxels,
+                      _fptr(voxels), coords.ctypes.data_as(i32),
+                      nppv.ctypes.data_as(i32))
+    return voxels[:nv], coords[:nv], nppv[:nv]
 
 
 def bev_iou(boxes_a: np.ndarray, boxes_b: np.ndarray) -> np.ndarray:

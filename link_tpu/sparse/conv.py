@@ -30,6 +30,12 @@ from . import coords as coordlib
 from . import ops as spops
 from .tensor import ConvPlan, SparseTensor
 
+# Windowed (chunked sub-window) forward apply: measured round 3 at stem
+# scale 10.0 ms vs 7.8 ms for the per-tap scan — the slot-select where
+# chains cost more VPU bandwidth than the saved gather descriptors, even
+# with every chunk on the 256 B plateau. Kept behind a flag for A/B runs.
+WINDOWED_APPLY = False
+
 
 def build_conv_plan(in_coords: jnp.ndarray,
                     out_coords: jnp.ndarray,
@@ -38,7 +44,8 @@ def build_conv_plan(in_coords: jnp.ndarray,
                     in_capacity: int,
                     quantum: int = 0,
                     in_sorted: bool = False,
-                    out_sorted: bool = False) -> ConvPlan:
+                    out_sorted: bool = False,
+                    table=None) -> ConvPlan:
     """Build the kernel map: for each output row and tap, the input row at
     out_coord + offset (or -1). Mirrors conv.py:103-122 (offsets -> hash ->
     query) with an exact sorted-table join instead of hashing.
@@ -49,23 +56,31 @@ def build_conv_plan(in_coords: jnp.ndarray,
     `in_sorted` (input rows in pack-key order) skips the table sort and
     produces the window-form plan the apply uses for per-GROUP gathers;
     `out_sorted` enables the coarse+bracket search (~2x fewer rounds)."""
-    table = coordlib.build_table(in_coords, assume_sorted=in_sorted)
+    if table is None:
+        table = coordlib.build_table(in_coords, assume_sorted=in_sorted)
     offs_np = np.asarray(offsets)
     if quantum and coordlib.can_group_offsets(offs_np, quantum):
+        # submanifold convs query the table's own rows: the center
+        # (dy,dz) group then needs no search (see _grouped_query_direct)
+        self_query = in_sorted and out_coords is in_coords
         in_idx, base_pos, slot = coordlib.grouped_window_query(
             table, out_coords, offs_np, quantum,
             queries_sorted=out_sorted, identity_perm=in_sorted,
-            # submanifold convs query the table's own rows: the center
-            # (dy,dz) group then needs no search (see _self_group_pos)
-            self_query=in_sorted and out_coords is in_coords)
+            self_query=self_query)
         groups = None
+        self_gi = None
         if base_pos is not None:
-            groups = tuple(tuple(t for _, t in taps)
-                           for _, taps in coordlib.offset_groups(offs_np))
+            glist = coordlib.offset_groups(offs_np)
+            groups = tuple(tuple(t for _, t in taps) for _, taps in glist)
+            if self_query:
+                self_gi = next(
+                    (gi for gi, ((ox0, oy, oz), _) in enumerate(glist)
+                     if oy == 0 and oz == 0 and ox0 in (0, -quantum)), None)
         return ConvPlan(in_idx=in_idx, out_coords=out_coords,
                         out_nnz=out_nnz, in_capacity=in_capacity,
                         out_capacity=out_coords.shape[0],
-                        base_pos=base_pos, slot=slot, groups=groups)
+                        base_pos=base_pos, slot=slot, groups=groups,
+                        self_group=self_gi)
     offs = jnp.asarray(offs_np, jnp.int32)                 # (K, 3)
     qxyz = out_coords[None, :, :3] + offs[:, None, :]      # (K, M, 3)
     qb = jnp.broadcast_to(out_coords[None, :, 3:],
@@ -105,28 +120,63 @@ def _window_table(feats: jnp.ndarray, g: int) -> jnp.ndarray:
     return jnp.concatenate([ext[j:j + n] for j in range(g)], axis=1)
 
 
+def window_chunk(g: int, c: int, itemsize: int) -> int:
+    """Rows per window gather that stay on the ~256 B descriptor-rate
+    plateau (PLAN.md: random-row reads are rate-constant to 256 B; wider
+    rows fall to ~30 GB/s — the measured round-2 negative for full-G
+    windows at C=64 bf16 = 384 B)."""
+    return max(1, min(g, 256 // (c * itemsize)))
+
+
 def _apply_windowed(feats: jnp.ndarray, weight: jnp.ndarray,
                     plan: ConvPlan) -> jnp.ndarray:
-    """Forward conv in window form: one (G*C)-wide row gather per (dy, dz)
-    tap group, VPU masked-select of each tap's slot, MXU matmuls.
-    Equivalent to the per-tap gather (misses select zero) at ~1/G the
-    gather descriptors. Selects are written as where/add chains — plain
-    elementwise ops XLA fuses into the matmul operands (an einsum over the
-    slot axis compiles to per-row micro-matmuls and giant intermediates)."""
+    """Forward conv in window form: each (dy, dz) tap group's G-row window
+    is fetched in ceil(G / gfit) row gathers of gfit*C <= 256 B (the
+    descriptor-rate plateau), then VPU mask-selects route each tap's slot
+    into its MXU matmul. The self-query center group skips gathers
+    entirely: its base is provably the own row or its predecessor, so the
+    window reduces to shifted slices + one select (round 3).
+
+    Selects are written as where/add chains — plain elementwise ops XLA
+    fuses into the matmul operands (an einsum over the slot axis compiles
+    to per-row micro-matmuls and giant intermediates)."""
     g = plan.window
     m = plan.out_capacity
     c = feats.shape[1]
     co = weight.shape[2]
-    featsw = _window_table(feats, g)                       # (N, G*C)
+    gfit = window_chunk(g, c, feats.dtype.itemsize)
+    featsw = _window_table(feats, gfit)                    # (N, gfit*C)
+
+    def shift_rows(a, d):
+        """Row i -> a[i + d], zero-padded (a plain slice — no gather)."""
+        if d == 0:
+            return a
+        z = jnp.zeros((abs(d), a.shape[1]), a.dtype)
+        return (jnp.concatenate([a[d:], z]) if d > 0
+                else jnp.concatenate([z, a[:d]]))
+
     acc = jnp.zeros((m, co), jnp.float32)
+    i_arr = jnp.arange(m, dtype=jnp.int32)
     for gi, tap_ids in enumerate(plan.groups):
-        win = featsw[plan.base_pos[gi]]                    # one row gather
+        base = plan.base_pos[gi]
+        wins = []
+        for c0 in range(0, g, gfit):                       # chunk starts
+            if gi == plan.self_group:
+                # base is provably i or i-1 (self-query): the window is a
+                # select of two shifted slices — no gather descriptors
+                wins.append(jnp.where((base == i_arr - 1)[:, None],
+                                      shift_rows(featsw, c0 - 1),
+                                      shift_rows(featsw, c0)))
+            else:
+                wins.append(featsw[base + c0])             # one row gather
         for t in tap_ids:
             sl = plan.slot[t]                              # (M,) int8
             x = jnp.zeros((m, c), feats.dtype)
             for j in range(g):
+                win = wins[j // gfit]
+                jj = j % gfit
                 x = x + jnp.where((sl == j)[:, None],
-                                  win[:, j * c:(j + 1) * c], 0)
+                                  win[:, jj * c:(jj + 1) * c], 0)
             acc = acc + jnp.dot(x, weight[t].astype(feats.dtype),
                                 preferred_element_type=jnp.float32)
     return acc.astype(feats.dtype)
@@ -167,14 +217,13 @@ def apply_conv_plan(feats: jnp.ndarray, weight: jnp.ndarray, plan: ConvPlan,
     ci = weight.shape[1]
     co = weight.shape[2]
 
-    # The window apply only wins while its (G*C)-wide gather rows stay on
-    # the descriptor-rate plateau (~256 B/row, PLAN.md): beyond that,
-    # random wide reads drop to ~30 GB/s and the per-tap scan is faster
-    # (measured on-chip: 85k x 64ch bf16 windowed 9.7 ms vs scan 7.9 ms,
-    # tools/microbench_conv.py).
-    window_bytes = (plan.window * feats.shape[1] * feats.dtype.itemsize
-                    if plan.groups else 1 << 30)
-    if plan.base_pos is not None and window_bytes <= 256:
+    # Window gathers only pay while each row stays on the ~256 B
+    # descriptor-rate plateau (PLAN.md). Round 3 chunks each G-row window
+    # into ceil(G / gfit) plateau-width gathers, so the window form wins
+    # whenever gfit >= 2 (i.e. at least two slots share a descriptor).
+    gfit = (window_chunk(plan.window, feats.shape[1], feats.dtype.itemsize)
+            if plan.groups else 0)
+    if plan.base_pos is not None and gfit >= 2 and WINDOWED_APPLY:
         if transposed:
             if plan.inv_idx is None:   # inverse-map gather beats scatter
                 return _apply_windowed_transposed(feats, weight, plan)
@@ -277,11 +326,19 @@ def conv3d(x: SparseTensor,
                     x.coords, cap, stride, kernel_size, x.stride)
             else:
                 out_coords, out_nnz = x.coords, x.nnz
+            # one key table + direct index per coordinate map, shared by
+            # every plan built at this level (submanifold + down convs)
+            tkey = ("table", x.stride)
+            table = x.kmaps.get(tkey)
+            if table is None:
+                table = coordlib.build_table(x.coords,
+                                             assume_sorted=x.coords_sorted)
+                x.kmaps[tkey] = table
             plan = build_conv_plan(x.coords, out_coords, out_nnz, offsets,
                                    in_capacity=x.capacity,
                                    quantum=x.stride[0] * dilation[0],
                                    in_sorted=x.coords_sorted,
-                                   out_sorted=out_sorted)
+                                   out_sorted=out_sorted, table=table)
             x.kmaps[key] = plan
 
         feats = apply_conv_plan(x.feats, weight, plan, transposed=False)

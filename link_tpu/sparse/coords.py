@@ -25,11 +25,12 @@ for kernel-offset probes that step outside the populated range.
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple, Union
+from typing import Any, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from flax import struct
 from jax.ad_checkpoint import checkpoint_name
 
 # Residual tag for the integer planning work (sorts, joins, unique
@@ -168,6 +169,20 @@ def lower_bound_rows(rows: jnp.ndarray, q_hi: jnp.ndarray,
 # (smaller levels pay the denser coarse pass), so 32 stays.
 BRACKET_SAMPLE = 32
 
+# --- direct-address index parameters (round 3). The join is reformulated
+# from per-query binary search (~5-7 row-gather descriptors each, the
+# measured round-2 wall) to a THREE-GATHER pipeline, all three on the
+# <=256 B descriptor-rate plateau:
+#   1. dense (b, z, y) -> [start, end) x-run lookup        (8 B row)
+#   2. fence window: 64 subsampled keys spanning 1536 rows (256 B row)
+#   3. key+perm window: 28 consecutive rows resolving every
+#      tap of a (dy, dz) group at once                     (224 B row)
+DIRECT_W = 24        # rows per fence block
+DIRECT_WIN = 28      # winlp window rows (W + max group run length)
+DIRECT_FW = 64       # fences per fence-window row (64 x int32 = 256 B)
+DIRECT_P_FACTOR = 6  # dense-prefix capacity = factor * table rows
+DIRECT_ENABLED = True  # global kill-switch (microbench A/B comparisons)
+
 
 def lower_bound_rows_bracketed(rows: jnp.ndarray, q_hi: jnp.ndarray,
                                q_lo: jnp.ndarray, sample: int = None,
@@ -292,6 +307,7 @@ def lower_bound_rows_bracketed(rows: jnp.ndarray, q_hi: jnp.ndarray,
     return lo_i
 
 
+@struct.dataclass
 class CoordTable:
     """Sorted key table over a coordinate set, for repeated joins.
 
@@ -299,13 +315,14 @@ class CoordTable:
     coordinate map (backend/hashmap/hashmap_cuda.cu) and querying it many
     times (`sphashquery`, nn/functional/query.py:8-33). Keys + permutation
     are packed into 8-lane int32 rows so every probe is a single row
-    gather.
+    gather. A pytree, so tables can be cached on SparseTensor.kmaps and
+    shared by every plan built at the same coordinate map.
     """
 
-    ROW_W = 8
+    rows: jnp.ndarray                # (N, 8): [hi, lo, perm, pad...]
+    direct: Any = None               # optional DirectIndex
 
-    def __init__(self, rows: jnp.ndarray):
-        self.rows = rows                 # (N, 8): [hi, lo, perm, pad...]
+    ROW_W = 8
 
     @property
     def hi(self):
@@ -326,11 +343,17 @@ class CoordTable:
               queries_sorted: bool = False) -> jnp.ndarray:
         """Return index of each query coord in the original coordinate rows,
         or -1 when absent (mirrors sphashquery's miss convention).
-        `queries_sorted` (coords in pack-key order along the row axis)
-        switches to the coarse+bracket search."""
+        With a direct-address index the lookup is 3 plateau-rate gathers;
+        otherwise `queries_sorted` (coords in pack-key order along the row
+        axis) switches to the coarse+bracket search."""
         shape = coords.shape[:-1]
         flat = coords.reshape(-1, coords.shape[-1])
         q_hi, q_lo = pack_coords(flat)
+        if self.direct is not None:
+            start, end, block = _direct_locate(self.direct, q_hi, q_lo)
+            res, _, _ = _direct_resolve(self.direct, start, end, block,
+                                        q_lo, (0,))
+            return checkpoint_name(res[0].reshape(shape), PLAN_TAG)
         if queries_sorted:
             pos = lower_bound_rows_bracketed(self.rows, q_hi, q_lo)
         else:
@@ -342,11 +365,16 @@ class CoordTable:
         return checkpoint_name(idx.reshape(shape), PLAN_TAG)
 
 
-def build_table(coords: jnp.ndarray, assume_sorted: bool = False) -> CoordTable:
+def build_table(coords: jnp.ndarray, assume_sorted: bool = False,
+                direct: bool = True) -> CoordTable:
     """`assume_sorted=True` skips the sort (perm = identity) for coords
     already in pack-key order — the invariant the host collate functions
     and unique_coords/spdownsample maintain. Saves one full-key sort
-    (~2 ms at 85k rows) per table build."""
+    (~2 ms at 85k rows) per table build.
+
+    `direct=True` (default) additionally builds the direct-address index
+    (DirectIndex) that turns every later join into 3 plateau-rate gathers
+    instead of a ~6-probe binary search."""
     hi, lo = pack_coords(coords)
     n = coords.shape[0]
     perm = jnp.arange(n, dtype=jnp.int32)
@@ -354,7 +382,274 @@ def build_table(coords: jnp.ndarray, assume_sorted: bool = False) -> CoordTable:
         hi, lo, perm = sort_by_key(hi, lo, perm)
     rows = jnp.zeros((n, CoordTable.ROW_W), jnp.int32)
     rows = rows.at[:, 0].set(hi).at[:, 1].set(lo).at[:, 2].set(perm)
-    return CoordTable(checkpoint_name(rows, PLAN_TAG))
+    rows = checkpoint_name(rows, PLAN_TAG)
+    idx = build_direct_index(rows) if (direct and DIRECT_ENABLED) else None
+    return CoordTable(rows, direct=idx)
+
+
+@struct.dataclass
+class DirectIndex:
+    """Direct-address join index over a sorted key table (round 3).
+
+    The binary searches of rounds 1-2 cost ~5-7 row-gather descriptors per
+    query — the measured round-2 wall (PLAN.md: searches ~55 ms of a
+    225 ms forward; det probes 126 ms). This index resolves a whole
+    (dy, dz) tap group with THREE gathers, each on the <=256 B
+    descriptor-rate plateau:
+
+      1. `se[lin(b, z, y)]` — a dense prefix table mapping each (batch, z,
+         y) cell of the populated bounding box to its x-run [start, end)
+         in the sorted table (empty prefixes get start == end). 8 B row.
+      2. `fence_win[ceil(start/W)]` — W-subsampled `lo` keys ("fences") of
+         the table; one 64-fence window brackets the query's lower bound
+         to a W-row block for runs up to 64*W = 1536 rows. 256 B row.
+      3. `winlp[block]` — WIN consecutive [lo | perm] table rows; masked
+         compares resolve the lower bound AND every tap of the group
+         (their candidate x's occupy consecutive rows — the quantum-run
+         invariant of grouped_window_query). 224 B row.
+
+    Runs longer than the fence coverage and dense-capacity overflows fall
+    back to an exact bisection while_loop (0 iterations in practice), so
+    results are exact for ANY input. No sorted-queries requirement — the
+    bracketed search machinery is bypassed entirely where an index exists.
+
+    Replaces the reference's cuckoo-table O(1) lookup
+    (backend/hashmap/hashmap_cuda.cu) with a TPU-shaped O(1) lookup.
+    """
+
+    rows: jnp.ndarray
+    se: jnp.ndarray                  # (P+2, 2): [start, end); row P = full
+    #                                  range (overflow), row P+1 = empty
+    fence_win: jnp.ndarray           # (NF, FW) int32 lo fences
+    winlp: jnp.ndarray               # (N, 2*WIN): [lo x WIN | perm x WIN]
+    box: jnp.ndarray                 # (5,) int32: zmin, zspan, ymin,
+    #                                  yspan, n_valid
+    capacity: int = struct.field(pytree_node=False)  # dense capacity P
+
+
+def _row_prefix(hi: jnp.ndarray, lo: jnp.ndarray):
+    """(batch, z, y) components of packed keys."""
+    b = hi >> Z_BITS
+    z = hi & (SPAN_Z - 1)
+    y = lo >> X_BITS
+    return b, z, y
+
+
+def build_direct_index(rows: jnp.ndarray,
+                       capacity: int = None) -> DirectIndex:
+    """Build the DirectIndex for a sorted key table. All steps are
+    bandwidth-bound (one N-scatter, one P-cummin, window concats) — no
+    descriptor-bound gathers."""
+    n = rows.shape[0]
+    if capacity is None:
+        capacity = max(4096, DIRECT_P_FACTOR * n)
+    p = capacity
+    hi, lo, perm = rows[:, 0], rows[:, 1], rows[:, 2]
+    valid = key_is_valid(hi)
+    b, z, y = _row_prefix(hi, lo)
+    big = jnp.int32(2**30)
+    zmin = jnp.min(jnp.where(valid, z, big))
+    zmax = jnp.max(jnp.where(valid, z, -big))
+    ymin = jnp.min(jnp.where(valid, y, big))
+    ymax = jnp.max(jnp.where(valid, y, -big))
+    zspan = jnp.maximum(zmax - zmin + 1, 1)
+    yspan = jnp.maximum(ymax - ymin + 1, 1)
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+
+    lin = (b * zspan + (z - zmin)) * yspan + (y - ymin)
+    lin = jnp.where(valid & (lin >= 0) & (lin < p), lin, p)
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), lin[:-1]])
+    first = (lin != prev) & (lin < p)
+    # starts[q] = first table row whose prefix lin >= q (suffix-min fill
+    # gives empty prefixes start == next run's start => zero-length run)
+    tmp = jnp.full((p + 2,), n, jnp.int32)     # slot p+1 = scatter dump
+    tmp = tmp.at[jnp.where(first, lin, p + 1)].min(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")
+    tmp = tmp.at[p].set(n_valid)               # boundary: end of last run
+    starts = jax.lax.cummin(tmp[:p + 1], axis=0, reverse=True)
+    se = jnp.stack([starts[:p], starts[1:p + 1]], axis=1)      # (P, 2)
+    sent = jnp.asarray([[0, 0]], jnp.int32)
+    over = jnp.stack([jnp.zeros((), jnp.int32), n_valid])[None, :]
+    se = jnp.concatenate([se, over, sent], axis=0)             # (P+2, 2)
+
+    # fences: every W-th row's lo key; windows of FW consecutive fences
+    w, fw, win = DIRECT_W, DIRECT_FW, DIRECT_WIN
+    fences = lo[::w]                                           # (NF0,)
+    nf0 = fences.shape[0]
+    f_ext = jnp.concatenate([fences, jnp.full((fw,), INT32_MAX, jnp.int32)])
+    fence_win = jnp.stack([f_ext[j:j + nf0] for j in range(fw)], axis=1)
+
+    # winlp: WIN consecutive [lo | perm] rows per window position
+    lo_ext = jnp.concatenate([lo, jnp.full((win,), INT32_MAX, jnp.int32)])
+    pm_ext = jnp.concatenate([perm, jnp.full((win,), -1, jnp.int32)])
+    cols = ([lo_ext[j:j + n] for j in range(win)]
+            + [pm_ext[j:j + n] for j in range(win)])
+    winlp = jnp.stack(cols, axis=1)                            # (N, 2*WIN)
+
+    box = jnp.stack([zmin, zspan, ymin, yspan, n_valid])
+    return DirectIndex(rows, checkpoint_name(se, PLAN_TAG),
+                       checkpoint_name(fence_win, PLAN_TAG), winlp,
+                       checkpoint_name(box, PLAN_TAG), p)
+
+
+def _direct_locate(d: DirectIndex, q_hi: jnp.ndarray, q_lo: jnp.ndarray):
+    """Per query key: its prefix x-run [start, end) and a `block` row with
+    lower_bound(q) guaranteed in [block, block + W]. Exact for any input
+    (bisection backstop for fence-coverage misses / capacity overflows).
+    """
+    p = d.capacity
+    w, fw = DIRECT_W, DIRECT_FW
+    zmin, zspan, ymin, yspan = d.box[0], d.box[1], d.box[2], d.box[3]
+    b, z, y = _row_prefix(q_hi, q_lo)
+    inbox = ((q_hi != INT32_MAX)
+             & (z >= zmin) & (z < zmin + zspan)
+             & (y >= ymin) & (y < ymin + yspan) & (b >= 0))
+    lin = (b * zspan + (z - zmin)) * yspan + (y - ymin)
+    overflow = (lin < 0) | (lin >= p)
+    idx = jnp.where(inbox, jnp.where(overflow, p, lin), p + 1)
+    se = d.se[idx]                                             # (..., 2)
+    start, end = se[..., 0], se[..., 1]
+
+    f0 = (start + w - 1) // w
+    nf = d.fence_win.shape[0]
+    fwrow = d.fence_win[jnp.minimum(f0, nf - 1)]               # (..., FW)
+    arow = (f0[..., None] + jnp.arange(fw, dtype=jnp.int32)) * w
+    active = arow < end[..., None]
+    # lo-only compare is exact here: active fences lie inside [start, end),
+    # where every row shares the query's (b, z, y) prefix
+    less = active & (fwrow < q_lo[..., None])
+    k = jnp.sum(less.astype(jnp.int32), axis=-1)
+    block = jnp.where(k == 0, start, (f0 + k - 1) * w)
+    # all FW fences < q and rows beyond their coverage exist -> unresolved
+    unresolved = (k == fw) & (end > (f0 + fw - 1) * w + w)
+
+    # exact bisection backstop (0 iterations unless a run exceeds the
+    # 1536-row fence coverage or the dense capacity overflowed)
+    n = d.rows.shape[0]
+    lo_c = jnp.where(unresolved, block, 0)
+    hi_c = jnp.where(unresolved, end, 0)
+
+    def cond(carry):
+        lo_i, hi_i = carry
+        return jnp.any(hi_i - lo_i > w)
+
+    def body(carry):
+        lo_i, hi_i = carry
+        mid = (lo_i + hi_i) >> 1
+        r = d.rows[jnp.minimum(mid, n - 1)]
+        t_hi, t_lo = r[..., 0], r[..., 1]
+        less_m = (t_hi < q_hi) | ((t_hi == q_hi) & (t_lo < q_lo))
+        narrow = hi_i - lo_i > w
+        lo_i = jnp.where(narrow & less_m, mid, lo_i)
+        hi_i = jnp.where(narrow & ~less_m, mid, hi_i)
+        return lo_i, hi_i
+
+    lo_c, _ = jax.lax.while_loop(cond, body, (lo_c, hi_c))
+    block = jnp.where(unresolved, lo_c, block)
+    return start, end, block
+
+
+def _direct_resolve(d: DirectIndex, start, end, block, q_lo0,
+                    dxs: Sequence[int]):
+    """Resolve the taps of one (dy, dz) group from a single winlp window.
+
+    `q_lo0` is the group's smallest-x candidate key (lo part); `dxs` the
+    static x-offsets of each tap relative to it (multiples of the
+    quantum). Returns (res, slots, lb):
+      res[t]:   original row index of tap t's hit, or -1  (list of arrays)
+      slots[t]: hit row - lb (int8, in [0, len(dxs))), or -1
+      lb:       lower bound of q_lo0 — the group's window base position.
+    """
+    win = DIRECT_WIN
+    n = d.winlp.shape[0]
+    wrow = d.winlp[jnp.minimum(block, n - 1)]                # (..., 2*WIN)
+    wlo = wrow[..., :win]
+    wpm = wrow[..., win:]
+    jmask = jnp.arange(win, dtype=jnp.int32) < (end - block)[..., None]
+    lb = block + jnp.sum(
+        (jmask & (wlo < q_lo0[..., None])).astype(jnp.int32), axis=-1)
+    res, slots = [], []
+    for dx in dxs:
+        hit = jmask & (wlo == (q_lo0 + dx)[..., None])
+        found = jnp.any(hit, axis=-1)
+        pm = jnp.max(jnp.where(hit, wpm, -1), axis=-1)
+        jpos = jnp.max(jnp.where(
+            hit, block[..., None] + jnp.arange(win, dtype=jnp.int32), 0),
+            axis=-1)
+        res.append(jnp.where(found, pm, -1))
+        slots.append(jnp.where(found, jpos - lb, -1).astype(jnp.int8))
+    return res, slots, lb
+
+
+def _grouped_query_direct(table: "CoordTable", glist, q_hi, q_lo,
+                          quantum: int, identity_perm: bool, free_gi, k, m):
+    """Direct-address body of grouped_window_query: one stacked
+    locate+resolve (3 gathers per group) for all searched groups, and
+    shifted-row compares (ZERO gathers) for the self-query center group.
+    Same return contract as grouped_window_query."""
+    d = table.direct
+    g = len(glist)
+    in_idx = [None] * k
+    slot = [None] * k if identity_perm else None
+    lb_list = [None] * g
+
+    if free_gi is not None:
+        # center (dy, dz) == (0, 0) group of a self-query join: targets are
+        # the immediately adjacent table rows, so hits reduce to shifted
+        # key compares along the table — no gathers at all.
+        (ox0f, _, _), ftaps = glist[free_gi]
+        rows = table.rows
+        hi_r, lo_r = rows[:, 0], rows[:, 1]
+        i_arr = jnp.arange(m, dtype=jnp.int32)
+        mx = jnp.full((1,), INT32_MAX, jnp.int32)
+        hi_prev = jnp.concatenate([mx, hi_r[:-1]])
+        lo_prev = jnp.concatenate([mx, lo_r[:-1]])
+        hi_next = jnp.concatenate([hi_r[1:], mx])
+        lo_next = jnp.concatenate([lo_r[1:], mx])
+        gvalid = q_hi[free_gi] != INT32_MAX
+        hit_prev = gvalid & (hi_prev == hi_r) & (lo_prev == lo_r - quantum)
+        hit_next = gvalid & (hi_next == hi_r) & (lo_next == lo_r + quantum)
+        lb = jnp.where(hit_prev, i_arr - 1, i_arr) if ox0f == -quantum \
+            else i_arr
+        lb_list[free_gi] = lb
+        for ox, t in ftaps:
+            if ox == 0:
+                hit, pos = gvalid, i_arr
+            elif ox == -quantum:
+                hit, pos = hit_prev, i_arr - 1
+            elif ox == quantum:
+                hit, pos = hit_next, i_arr + 1
+            else:
+                raise AssertionError("self-query group spans one x step")
+            in_idx[t] = jnp.where(hit, pos, -1)
+            if identity_perm:
+                slot[t] = jnp.where(hit, pos - lb, -1).astype(jnp.int8)
+
+    rest = [gi for gi in range(g) if gi != free_gi]
+    # cluster groups with identical relative-offset patterns: each cluster
+    # is one stacked locate + resolve (and one shared while backstop)
+    clusters = {}
+    for gi in rest:
+        (ox0, _, _), taps = glist[gi]
+        dxs = tuple(ox - ox0 for ox, _ in taps)
+        clusters.setdefault(dxs, []).append(gi)
+    for dxs, gis in clusters.items():
+        sel = np.asarray(gis)
+        qh, ql = q_hi[sel], q_lo[sel]
+        start, end, block = _direct_locate(d, qh, ql)
+        res, sl, lb = _direct_resolve(d, start, end, block, ql, dxs)
+        for ci, gi in enumerate(gis):
+            lb_list[gi] = lb[ci]
+            for ti, (_, t) in enumerate(glist[gi][1]):
+                in_idx[t] = res[ti][ci]
+                if identity_perm:
+                    slot[t] = sl[ti][ci]
+
+    in_idx = checkpoint_name(jnp.stack(in_idx), PLAN_TAG)
+    if identity_perm:
+        return (in_idx, checkpoint_name(jnp.stack(lb_list), PLAN_TAG),
+                checkpoint_name(jnp.stack(slot), PLAN_TAG))
+    return in_idx, None, None
 
 
 def unique_coords(coords: jnp.ndarray, out_capacity: int):
@@ -498,9 +793,15 @@ def grouped_window_query(table: "CoordTable", base_coords: jnp.ndarray,
         for gi, ((ox0, oy, oz), _) in enumerate(glist):
             if oy == 0 and oz == 0 and ox0 in (0, -quantum):
                 free_gi = gi
-                free_pos = _self_group_pos(table.rows, q_hi[gi], q_lo[gi],
-                                           ox0 == 0, m)
                 break
+
+    if table.direct is not None:
+        return _grouped_query_direct(table, glist, q_hi, q_lo, quantum,
+                                     identity_perm, free_gi, k, m)
+
+    if free_gi is not None:
+        free_pos = _self_group_pos(table.rows, q_hi[free_gi], q_lo[free_gi],
+                                   glist[free_gi][0][0] == 0, m)
 
     search_gis = np.asarray([gi for gi in range(g) if gi != free_gi])
     if queries_sorted:

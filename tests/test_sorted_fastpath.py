@@ -95,7 +95,7 @@ class TestSortedWindowedConv:
                                 base_sorted=True)
         out = spconv.conv3d(st, jnp.asarray(w), kernel_size=ks)
         # the plan must be in window form on this path
-        plan = next(iter(st.kmaps.values()))
+        plan = next(v for k, v in st.kmaps.items() if k[0] != "table")
         assert plan.base_pos is not None and plan.groups is not None
         _, want = oracles.sparse_conv(coords, feats, w, ks,
                                       tensor_stride=tensor_stride)

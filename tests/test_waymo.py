@@ -115,6 +115,39 @@ def test_waymo_eval_perfect_and_difficulty():
     m2 = WE.evaluate_waymo([s2])
     assert m2["ap_l2"]["VEHICLE"] < 1.0
 
+    # perfect headings: APH == AP
+    assert m["aph_l2"]["VEHICLE"] == pytest.approx(m["ap_l2"]["VEHICLE"],
+                                                   abs=1e-6)
+
+
+def test_waymo_aph_hand_computed():
+    """APH fixture (reference semantics: waymo_common.py:52-115 via the
+    official toolkit): TP contributions to precision AND recall scale by
+    1 - |wrapped heading error| / pi.
+
+    Two gts, two perfect-box preds; pred 1 heading exact (h = 1), pred 2
+    off by pi/2 (h = 0.5). Heading-weighted PR: (r, p) = (0.5, 1.0) then
+    (0.75, 0.75); 101-point integration = 51*1.0 + sum_{i=1..25}(1 - i/100)
+    = 72.75 points over 101 -> APH = 72.75/101. AP stays 1.0."""
+    gt = np.zeros((2, 9))
+    gt[:, 0] = [0, 20]
+    gt[:, 3:6] = [4, 4, 1.6]      # square footprint: heading error does
+    gt[:, 8] = [0.3, 0.3]         # not change the overlap (IoU stays 1)
+    pred = gt.copy()
+    pred[1, 8] = 0.3 + np.pi / 2
+    s = {"token": "t", "gt_boxes": gt, "gt_classes": np.ones(2, int),
+         "pred_boxes": pred, "pred_scores": np.array([0.9, 0.8]),
+         "pred_labels": np.zeros(2, int)}
+    m = WE.evaluate_waymo([s])
+    assert m["ap_l2"]["VEHICLE"] == pytest.approx(1.0, abs=1e-6)
+    assert m["aph_l2"]["VEHICLE"] == pytest.approx(72.75 / 101, abs=1e-6)
+    # heading wrap: a pi error weights 0; 2*pi error weights 1
+    pred2 = gt.copy()
+    pred2[1, 8] = 0.3 + 2 * np.pi
+    s["pred_boxes"] = pred2
+    m2 = WE.evaluate_waymo([s])
+    assert m2["aph_l2"]["VEHICLE"] == pytest.approx(1.0, abs=1e-6)
+
 
 def test_waymo_submission_json(tmp_path):
     s = {"token": "t", "pred_boxes": np.array([[1, 2, 0.5, 2, 4, 1.6,

@@ -57,6 +57,10 @@ def main():
                          "RoI head rescoring/refining the NMS proposals")
     ap.add_argument("--two-stage-checkpoint", default=None,
                     help="orbax/pickle checkpoint for the refinement head")
+    ap.add_argument("--device-nms", action="store_true",
+                    help="run rotated NMS on device inside the jitted "
+                         "forward (ops/nms.rotate_nms_jax) — nothing "
+                         "leaves the chip between backbone and boxes")
     ap.add_argument("--out", default=None, help="write predictions json")
     ap.add_argument("--save-vis", default=None,
                     help="write a visualization pkl (points + detections "
@@ -136,6 +140,9 @@ def main():
         preds, bev = out if args.two_stage else (out, None)
         decoded = decode_boxes(preds, TEST_CFG, num_classes,
                                double_flip=args.double_flip)
+        if args.device_nms:
+            from link_tpu.models.center_head import device_nms
+            decoded = device_nms(decoded, TEST_CFG)
         return (decoded, bev) if args.two_stage else decoded
 
     variables = model.init(jax.random.PRNGKey(0), jnp.asarray(b0["voxels"]),
@@ -206,6 +213,11 @@ def main():
             bx, sc, lb = (np.asarray(boxes[0])[m], np.asarray(scores[0])[m],
                           np.asarray(labels[0])[m])
             if len(bx) == 0:
+                continue
+            if args.device_nms:      # mask was the on-device post-NMS keep
+                boxes_l.append(bx)
+                scores_l.append(sc)
+                labels_l.append(lb)
                 continue
             b7 = bx[:, [0, 1, 2, 3, 4, 5, 8]]
             keep = rotate_nms_pcdet(b7, sc,

@@ -107,17 +107,47 @@ def main():
         timed("build_table assume_sorted", loop(tbl(True)), coords)
 
     if want("join"):
-        def join(sorted_q, ident):
+        def join(sorted_q, ident, direct):
             def body(seed, coords):
                 c2 = coords.at[0, 0].add(seed % 1)
-                t = coordlib.build_table(c2, assume_sorted=ident)
+                t = coordlib.build_table(c2, assume_sorted=ident,
+                                         direct=direct)
                 idx, bp, sl = coordlib.grouped_window_query(
                     t, c2, offsets, 1, queries_sorted=sorted_q,
-                    identity_perm=ident)
+                    identity_perm=ident, self_query=ident)
                 return jnp.sum(idx[:, ::512]).astype(jnp.float32)
             return body
-        timed("join full-search", loop(join(False, False)), coords)
-        timed("join bracketed+identity", loop(join(True, True)), coords)
+        timed("join full-search", loop(join(False, False, False)), coords)
+        timed("join bracketed+identity",
+              loop(join(True, True, False)), coords)
+        timed("join direct+identity", loop(join(True, True, True)), coords)
+
+        # query-only: table + index prebuilt OUTSIDE the loop; queries
+        # jittered per iteration (defeats the relay memoizer)
+        def joinq(direct):
+            table = coordlib.build_table(coords, assume_sorted=True,
+                                         direct=direct)
+            def body(seed, coords):
+                c2 = coords.at[0, 0].add(seed % 1)
+                idx, bp, sl = coordlib.grouped_window_query(
+                    table, c2, offsets, 1, queries_sorted=not direct,
+                    identity_perm=False)
+                return jnp.sum(idx[:, ::512]).astype(jnp.float32)
+            return body
+        timed("joinq bracketed (prebuilt)", loop(joinq(False)), coords)
+        timed("joinq direct (prebuilt)", loop(joinq(True)), coords)
+
+        def buildonly(direct):
+            def body(seed, coords):
+                c2 = coords.at[0, 0].add(seed % 1)
+                t = coordlib.build_table(c2, assume_sorted=True,
+                                         direct=direct)
+                probe = t.direct.se[::512, 0] if direct \
+                    else t.rows[::512, 2]
+                return jnp.sum(probe).astype(jnp.float32)
+            return body
+        timed("build table (no index)", loop(buildonly(False)), coords)
+        timed("build table + direct index", loop(buildonly(True)), coords)
 
     if want("apply"):
         table = coordlib.build_table(coords, assume_sorted=True)
