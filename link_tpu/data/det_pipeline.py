@@ -36,11 +36,9 @@ def points_to_voxel(points: np.ndarray, voxel_size, pc_range,
 
     from .. import native
     if native.available() and len(points):
-        voxels, coords_zyx, nppv = native.voxelize_points(
+        # native kernel emits rows already in pack-key (z, y, x) order
+        return native.voxelize_points(
             points, voxel_size, pc_range, grid, max_points, max_voxels)
-        perm = np.lexsort((coords_zyx[:, 2], coords_zyx[:, 1],
-                           coords_zyx[:, 0]))
-        return voxels[perm], coords_zyx[perm], nppv[perm]
 
     c = np.floor((points[:, :3] - pc_range[:3]) / voxel_size).astype(np.int32)
     keep = ((c >= 0) & (c < grid)).all(axis=1)
