@@ -41,6 +41,7 @@ class SpConvDown(nn.Module):
     padding: Tuple[int, int, int]
     out_capacity: int
     bn_axis: Optional[str] = None
+    batch_size: Optional[int] = None   # static; enables dense-grid dedup
 
     @nn.compact
     def __call__(self, x: SparseTensor, in_shape, train: bool = False):
@@ -51,7 +52,8 @@ class SpConvDown(nn.Module):
         w = self.param("kernel", _conv_kernel_init(std), (kv, self.inc, self.outc))
         y, out_shape = spconv3d(x, w, self.kernel_size, in_shape,
                                 stride=self.stride, padding=self.padding,
-                                out_capacity=self.out_capacity)
+                                out_capacity=self.out_capacity,
+                                batch_size=self.batch_size)
         y = SparseBatchNorm(self.outc, axis_name=self.bn_axis,
                             **DET_NORM)(y, train)
         return y.replace(feats=jax.nn.relu(y.feats)), out_shape
@@ -114,6 +116,7 @@ class SpMiddleResNetFHDELKv3(nn.Module):
                 st, shape = SpConvDown(planes[lvl - 1], c, (3, 3, 3),
                                        (2, 2, 2), (1, 1, zpad),
                                        out_capacity=caps[lvl], bn_axis=ax,
+                                       batch_size=self.batch_size,
                                        name=f"down{lvl+1}")(st, shape, train)
             y = SparseBasicBlock(c, bn_axis=ax, name=f"conv{lvl+1}_0")(st, train)
             y = SparseBasicBlock(c, bn_axis=ax, name=f"conv{lvl+1}_1")(y, train)
@@ -141,7 +144,8 @@ class SpMiddleResNetFHDELKv3(nn.Module):
         w = self.param("extra_conv_kernel", _conv_kernel_init(std),
                        (3, planes[3], planes[3]))
         st, shape = spconv3d(st, w, (1, 1, 3), shape, stride=(1, 1, 2),
-                             padding=(0, 0, 0), out_capacity=caps[3])
+                             padding=(0, 0, 0), out_capacity=caps[3],
+                             batch_size=self.batch_size)
         st = SparseBatchNorm(planes[3], axis_name=ax, name="extra_conv_bn",
                              **DET_NORM)(st, train)
         st = st.replace(feats=jax.nn.relu(st.feats))

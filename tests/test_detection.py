@@ -78,6 +78,24 @@ class TestSpconvEngine:
         assert_rows_match(np.asarray(out.coords)[:n], np.asarray(out.feats)[:n],
                           want_c, want)
 
+    def test_dense_downsample_matches_sort_path(self):
+        """spconv_downsample dense-occupancy dedup == the sort-based
+        unique_coords path (coords, order, and count)."""
+        rng = np.random.default_rng(4)
+        n, cap = 500, 700
+        for batch in (1, 2):
+            c = np.stack([rng.integers(0, 40, n), rng.integers(0, 40, n),
+                          rng.integers(0, 11, n),
+                          rng.integers(0, batch, n)], 1).astype(np.int32)
+            cp = jnp.asarray(np.concatenate(
+                [c, np.full((50, 4), coordlib.INVALID_COORD, np.int32)]))
+            args = (cp, (3, 3, 3), (2, 2, 2), (1, 1, 1), (20, 20, 6), cap)
+            co_s, nnz_s = spe.spconv_downsample(*args)
+            co_d, nnz_d = spe.spconv_downsample(*args, batch_size=batch)
+            assert int(nnz_s) == int(nnz_d)
+            np.testing.assert_array_equal(np.asarray(co_s),
+                                          np.asarray(co_d))
+
     def test_dense_bev_layout(self):
         coords = np.array([[1, 2, 0, 0], [0, 0, 1, 1]], np.int32)
         feats = np.array([[1.0, 2.0], [3.0, 4.0]], np.float32)
