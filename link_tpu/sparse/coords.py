@@ -350,9 +350,9 @@ class CoordTable:
         flat = coords.reshape(-1, coords.shape[-1])
         q_hi, q_lo = pack_coords(flat)
         if self.direct is not None:
-            start, end, block = _direct_locate(self.direct, q_hi, q_lo)
+            start, end, block, miss = _direct_locate(self.direct, q_hi, q_lo)
             res, _, _ = _direct_resolve(self.direct, start, end, block,
-                                        q_lo, (0,))
+                                        q_lo, (0,), miss=miss)
             return checkpoint_name(res[0].reshape(shape), PLAN_TAG)
         if queries_sorted:
             pos = lower_bound_rows_bracketed(self.rows, q_hi, q_lo)
@@ -501,14 +501,23 @@ def _direct_locate(d: DirectIndex, q_hi: jnp.ndarray, q_lo: jnp.ndarray):
     w, fw = DIRECT_W, DIRECT_FW
     zmin, zspan, ymin, yspan = d.box[0], d.box[1], d.box[2], d.box[3]
     b, z, y = _row_prefix(q_hi, q_lo)
-    inbox = ((q_hi != INT32_MAX)
-             & (z >= zmin) & (z < zmin + zspan)
+    pad = q_hi == INT32_MAX
+    inbox = (~pad & (z >= zmin) & (z < zmin + zspan)
              & (y >= ymin) & (y < ymin + yspan) & (b >= 0))
-    lin = (b * zspan + (z - zmin)) * yspan + (y - ymin)
+    # out-of-box queries are guaranteed misses, but they still get the
+    # CLAMPED prefix's run as a base: downstream consumers (the one-hot
+    # Pallas kernel) tile windows by base spread, so bases must stay
+    # near-monotone over sorted queries — `miss` masks out any
+    # false lo-only key equalities inside the clamped run
+    zc = jnp.clip(z, zmin, zmin + zspan - 1)
+    yc = jnp.clip(y, ymin, ymin + yspan - 1)
+    bc = jnp.maximum(b, 0)
+    lin = (bc * zspan + (zc - zmin)) * yspan + (yc - ymin)
     overflow = (lin < 0) | (lin >= p)
-    idx = jnp.where(inbox, jnp.where(overflow, p, lin), p + 1)
+    idx = jnp.where(pad, p + 1, jnp.where(overflow, p, lin))
     se = d.se[idx]                                             # (..., 2)
     start, end = se[..., 0], se[..., 1]
+    miss = ~inbox
 
     f0 = (start + w - 1) // w
     nf = d.fence_win.shape[0]
@@ -546,16 +555,18 @@ def _direct_locate(d: DirectIndex, q_hi: jnp.ndarray, q_lo: jnp.ndarray):
 
     lo_c, _ = jax.lax.while_loop(cond, body, (lo_c, hi_c))
     block = jnp.where(unresolved, lo_c, block)
-    return start, end, block
+    return start, end, block, miss
 
 
 def _direct_resolve(d: DirectIndex, start, end, block, q_lo0,
-                    dxs: Sequence[int]):
+                    dxs: Sequence[int], miss=None):
     """Resolve the taps of one (dy, dz) group from a single winlp window.
 
     `q_lo0` is the group's smallest-x candidate key (lo part); `dxs` the
     static x-offsets of each tap relative to it (multiples of the
-    quantum). Returns (res, slots, lb):
+    quantum); `miss` marks lanes whose prefix was out of the table box
+    (their run is a clamped stand-in — compare no keys there).
+    Returns (res, slots, lb):
       res[t]:   original row index of tap t's hit, or -1  (list of arrays)
       slots[t]: hit row - lb (int8, in [0, len(dxs))), or -1
       lb:       lower bound of q_lo0 — the group's window base position.
@@ -568,6 +579,8 @@ def _direct_resolve(d: DirectIndex, start, end, block, q_lo0,
     jmask = jnp.arange(win, dtype=jnp.int32) < (end - block)[..., None]
     lb = block + jnp.sum(
         (jmask & (wlo < q_lo0[..., None])).astype(jnp.int32), axis=-1)
+    if miss is not None:
+        jmask = jmask & ~miss[..., None]
     res, slots = [], []
     for dx in dxs:
         hit = jmask & (wlo == (q_lo0 + dx)[..., None])
@@ -636,8 +649,18 @@ def _grouped_query_direct(table: "CoordTable", glist, q_hi, q_lo,
     for dxs, gis in clusters.items():
         sel = np.asarray(gis)
         qh, ql = q_hi[sel], q_lo[sel]
-        start, end, block = _direct_locate(d, qh, ql)
-        res, sl, lb = _direct_resolve(d, start, end, block, ql, dxs)
+        start, end, block, miss = _direct_locate(d, qh, ql)
+        res, sl, lb = _direct_resolve(d, start, end, block, ql, dxs,
+                                      miss=miss)
+        if identity_perm:
+            # padding queries' bases are never consumed by the XLA apply
+            # (slots are -1) but the one-hot Pallas kernel tiles windows
+            # by base spread — pin them to the last valid base like the
+            # search path did
+            valid_q = qh != INT32_MAX
+            last_valid = jnp.max(jnp.where(valid_q, lb, 0), axis=-1,
+                                 keepdims=True)
+            lb = jnp.where(valid_q, lb, last_valid)
         for ci, gi in enumerate(gis):
             lb_list[gi] = lb[ci]
             for ti, (_, t) in enumerate(glist[gi][1]):

@@ -20,8 +20,10 @@ jax.config.update("jax_platforms", "cpu")
 def pytest_addoption(parser):
     parser.addoption(
         "--runslow", action="store_true", default=False,
-        help="also run full-model-compile tests (adds ~20 min of CPU "
-             "wall time; the fast default profile finishes in ~5 min)")
+        help="also run full-model-compile tests (adds ~35 min of CPU "
+             "wall time; the fast default profile finishes in ~9 min — "
+             "measured round 3 after slow-marking the 3-minute-class "
+             "full-model tests)")
 
 
 def pytest_configure(config):

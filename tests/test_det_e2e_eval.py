@@ -21,6 +21,7 @@ TEST_CFG = dict(
 )
 
 
+@pytest.mark.slow  # ~186 s CPU full-model compile (round-3 durations)
 def test_detection_eval_path_runs():
     rng = np.random.default_rng(60)
     pr = (-12, -12, -2, 12, 12, 2)

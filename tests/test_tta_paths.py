@@ -5,6 +5,7 @@ size; reference test_aug.py DoubleFlip + preprocess.py:153-157 +
 center_head.py:320-416,490-504)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -44,6 +45,7 @@ def test_double_flip_variants_geometry():
     assert twice == ref
 
 
+@pytest.mark.slow  # ~191 s CPU full-model compile (round-3 durations)
 def test_double_flip_decode_fuses_batch_of_4():
     ds = _tiny_ds(double_flip=True)
     s = ds[0]

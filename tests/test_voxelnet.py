@@ -1,6 +1,7 @@
 """End-to-end VoxelNet forward + loss on a tiny grid (CPU)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -25,6 +26,7 @@ def _tiny_sample(rng, grid=(48, 48, 40), vs=(0.5, 0.5, 0.1)):
             "targets": targets}
 
 
+@pytest.mark.slow  # ~209 s CPU full-model compile (round-3 durations)
 def test_voxelnet_forward_and_loss():
     rng = np.random.default_rng(50)
     sample = _tiny_sample(rng)

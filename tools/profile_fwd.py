@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""Capture a device trace of the bench forward and aggregate op time by
+source file:line (the workflow every round-2/3 optimization came from).
+
+Usage: python tools/profile_fwd.py [--det] [--train] [--top 40]
+Writes the raw trace under /tmp/jax-trace* and prints the aggregation.
+"""
+
+import argparse
+import glob
+import gzip
+import json
+import os
+import sys
+import time
+from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"))
+
+import numpy as np
+
+
+def aggregate(trace_dir: str, top: int):
+    """Parse the .trace.json.gz and sum device-lane durations by the op's
+    `source` metadata."""
+    files = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
+                      recursive=True)
+    assert files, f"no trace under {trace_dir}"
+    path = max(files, key=os.path.getmtime)
+    with gzip.open(path, "rt") as f:
+        tr = json.load(f)
+    events = tr["traceEvents"]
+    # device lanes: pid names containing "TPU" and thread named XLA Ops
+    pid_names = {}
+    tid_names = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pid_names[e["pid"]] = e["args"].get("name", "")
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            tid_names[(e["pid"], e["tid"])] = e["args"].get("name", "")
+    by_src = defaultdict(float)
+    by_op = defaultdict(float)
+    total = 0.0
+    for e in events:
+        if e.get("ph") != "X":
+            continue
+        pname = pid_names.get(e["pid"], "")
+        tname = tid_names.get((e["pid"], e.get("tid")), "")
+        if "TPU" not in pname and "tpu" not in pname.lower():
+            continue
+        if "XLA Op" not in tname and "Steps" in tname:
+            continue
+        if "XLA Op" not in tname:
+            continue
+        dur = e.get("dur", 0) / 1e3                     # us -> ms
+        args = e.get("args", {})
+        src = args.get("source", "?")
+        name = e.get("name", "?")
+        by_src[src] += dur
+        key = name.split(".")[0].rstrip("0123456789")
+        by_op[key] += dur
+        total += dur
+    print(f"\n== total device op time: {total:.1f} ms (all captured steps)")
+    print(f"== by source (top {top}):")
+    for src, ms in sorted(by_src.items(), key=lambda kv: -kv[1])[:top]:
+        print(f"  {ms:9.2f} ms  {src}")
+    print(f"== by op family (top {top}):")
+    for op, ms in sorted(by_op.items(), key=lambda kv: -kv[1])[:top]:
+        print(f"  {ms:9.2f} ms  {op}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--det", action="store_true")
+    ap.add_argument("--train", action="store_true")
+    ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--iters", type=int, default=2)
+    ap.add_argument("--trace-dir", default="/tmp/jax-trace")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from link_tpu.data.collate import collate_scans
+    from link_tpu.data.semantic_kitti import SyntheticSemanticKITTI
+    from link_tpu.models.linkunet import DEFAULT_CAPACITIES, ELKUNet
+    from link_tpu.sparse.tensor import make_sparse_tensor
+
+    caps = DEFAULT_CAPACITIES
+    ds = SyntheticSemanticKITTI(length=2, num_points=80000,
+                                n_raw_points=120000, split="train")
+    batches = [collate_scans([ds[i]], caps[0]) for i in range(2)]
+    model = ELKUNet(num_classes=20, cr=1.0, capacities=caps,
+                    dtype="bfloat16")
+    b0 = batches[0]
+    st0 = make_sparse_tensor(b0["feats"], b0["coords"], nnz=b0["nnz"],
+                             base_sorted=True)
+    params = jax.jit(model.init, static_argnums=2)(
+        jax.random.PRNGKey(0), st0, False)
+
+    feats = jnp.stack([jnp.asarray(b["feats"]) for b in batches])
+    coords = jnp.stack([jnp.asarray(b["coords"]) for b in batches])
+    nnzs = jnp.stack([jnp.asarray(b["nnz"]) for b in batches])
+
+    if args.train:
+        import optax
+        from link_tpu.train.losses import segmentation_loss
+
+        tx = optax.sgd(0.01, momentum=0.9, nesterov=True)
+        opt_state = tx.init(params)
+
+        @jax.jit
+        def step(seed, params, opt_state, feats, coords, nnzs):
+            def loss_fn(p):
+                st = make_sparse_tensor(feats[0], coords[0], nnz=nnzs[0],
+                                        base_sorted=True)
+                out = model.apply(p, st, True)
+                tgt = (jnp.abs(jnp.sum(coords[0], -1)) + seed) % 19
+                return segmentation_loss(out, tgt,
+                                         jnp.ones_like(tgt, bool))
+
+            loss, g = jax.value_and_grad(loss_fn)(params)
+            upd, opt_state = tx.update(g, opt_state)
+            return optax.apply_updates(params, upd), opt_state, loss
+
+        step(jnp.int32(0), params, opt_state, feats, coords, nnzs)[2].block_until_ready()
+        jax.profiler.start_trace(args.trace_dir)
+        out = step(jnp.int32(1), params, opt_state, feats, coords, nnzs)
+        float(np.asarray(out[2]))
+        jax.profiler.stop_trace()
+        aggregate(args.trace_dir, args.top)
+        return
+
+    @jax.jit
+    def fwd(seed, params, feats, coords, nnzs):
+        def body(i, acc):
+            k = i % 2
+            st = make_sparse_tensor(feats[k], coords[k], nnz=nnzs[k],
+                                    base_sorted=True)
+            out = model.apply(params, st, False)
+            return acc + jnp.sum(out) * (1.0 + i + seed) * 1e-9
+
+        return jax.lax.fori_loop(0, args.iters, body, jnp.float32(0))
+
+    t0 = time.perf_counter()
+    float(np.asarray(fwd(jnp.int32(0), params, feats, coords, nnzs)))
+    print(f"# compile+first: {time.perf_counter() - t0:.1f}s", flush=True)
+    for s in (1, 2):
+        t0 = time.perf_counter()
+        float(np.asarray(fwd(jnp.int32(s), params, feats, coords, nnzs)))
+        print(f"# steady: {(time.perf_counter() - t0) / args.iters * 1e3:.1f}"
+              f" ms/scan", flush=True)
+    jax.profiler.start_trace(args.trace_dir)
+    float(np.asarray(fwd(jnp.int32(3), params, feats, coords, nnzs)))
+    jax.profiler.stop_trace()
+    aggregate(args.trace_dir, args.top)
+
+
+if __name__ == "__main__":
+    main()
