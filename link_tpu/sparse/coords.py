@@ -422,6 +422,7 @@ class DirectIndex:
     #                                  range (overflow), row P+1 = empty
     fence_win: jnp.ndarray           # (NF, FW) int32 lo fences
     winlp: jnp.ndarray               # (N, 2*WIN): [lo x WIN | perm x WIN]
+    fence2: jnp.ndarray              # (2, NF2): [hi | lo] every W*FW rows
     box: jnp.ndarray                 # (5,) int32: zmin, zspan, ymin,
     #                                  yspan, n_valid
     capacity: int = struct.field(pytree_node=False)  # dense capacity P
@@ -479,6 +480,14 @@ def build_direct_index(rows: jnp.ndarray,
     f_ext = jnp.concatenate([fences, jnp.full((fw,), INT32_MAX, jnp.int32)])
     fence_win = jnp.stack([f_ext[j:j + nf0] for j in range(fw)], axis=1)
 
+    # level-2 fences: every (W*FW)-th row's FULL key, covering the whole
+    # table. Tiny (ceil(N/1536) entries) => consumed as a broadcast
+    # compare, no gather. Guarantees the level-1 fence window always
+    # brackets the lower bound, deleting the bisection while_loop the
+    # round-3 profile measured at ~21 ms/scan of pure loop overhead.
+    s2 = w * fw
+    fence2 = jnp.stack([hi[::s2], lo[::s2]], axis=0)           # (2, NF2)
+
     # winlp: WIN consecutive [lo | perm] rows per window position
     lo_ext = jnp.concatenate([lo, jnp.full((win,), INT32_MAX, jnp.int32)])
     pm_ext = jnp.concatenate([perm, jnp.full((win,), -1, jnp.int32)])
@@ -489,6 +498,7 @@ def build_direct_index(rows: jnp.ndarray,
     box = jnp.stack([zmin, zspan, ymin, yspan, n_valid])
     return DirectIndex(rows, checkpoint_name(se, PLAN_TAG),
                        checkpoint_name(fence_win, PLAN_TAG), winlp,
+                       checkpoint_name(fence2, PLAN_TAG),
                        checkpoint_name(box, PLAN_TAG), p)
 
 
@@ -519,7 +529,29 @@ def _direct_locate(d: DirectIndex, q_hi: jnp.ndarray, q_lo: jnp.ndarray):
     start, end = se[..., 0], se[..., 1]
     miss = ~inbox
 
-    f0 = (start + w - 1) // w
+    # level-2 narrowing: a broadcast compare against the tiny global
+    # fence2 array (FULL keys — it spans prefixes) brackets the lower
+    # bound to a W*FW-row region whenever the run exceeds the level-1
+    # fence window. Zero gathers; statically exact for any run length,
+    # so there is NO data-dependent loop anywhere in the join.
+    s2 = w * fw
+    nf2 = d.fence2.shape[1]
+    if nf2 > 1:                                  # N > s2 only
+        f2hi = d.fence2[0]                                     # (NF2,)
+        f2lo = d.fence2[1]
+        j2 = jnp.arange(nf2, dtype=jnp.int32)
+        f2_0 = (start + s2 - 1) // s2
+        a2 = j2 * s2                             # absolute fence rows
+        active2 = (j2 >= f2_0[..., None]) & (a2 < end[..., None])
+        less2 = active2 & ((f2hi < q_hi[..., None])
+                           | ((f2hi == q_hi[..., None])
+                              & (f2lo < q_lo[..., None])))
+        k2 = jnp.sum(less2.astype(jnp.int32), axis=-1)
+        block2 = jnp.where(k2 == 0, start, (f2_0 + k2 - 1) * s2)
+    else:
+        block2 = start
+
+    f0 = (block2 + w - 1) // w
     nf = d.fence_win.shape[0]
     fwrow = d.fence_win[jnp.minimum(f0, nf - 1)]               # (..., FW)
     arow = (f0[..., None] + jnp.arange(fw, dtype=jnp.int32)) * w
@@ -528,33 +560,7 @@ def _direct_locate(d: DirectIndex, q_hi: jnp.ndarray, q_lo: jnp.ndarray):
     # where every row shares the query's (b, z, y) prefix
     less = active & (fwrow < q_lo[..., None])
     k = jnp.sum(less.astype(jnp.int32), axis=-1)
-    block = jnp.where(k == 0, start, (f0 + k - 1) * w)
-    # all FW fences < q and rows beyond their coverage exist -> unresolved
-    unresolved = (k == fw) & (end > (f0 + fw - 1) * w + w)
-
-    # exact bisection backstop (0 iterations unless a run exceeds the
-    # 1536-row fence coverage or the dense capacity overflowed)
-    n = d.rows.shape[0]
-    lo_c = jnp.where(unresolved, block, 0)
-    hi_c = jnp.where(unresolved, end, 0)
-
-    def cond(carry):
-        lo_i, hi_i = carry
-        return jnp.any(hi_i - lo_i > w)
-
-    def body(carry):
-        lo_i, hi_i = carry
-        mid = (lo_i + hi_i) >> 1
-        r = d.rows[jnp.minimum(mid, n - 1)]
-        t_hi, t_lo = r[..., 0], r[..., 1]
-        less_m = (t_hi < q_hi) | ((t_hi == q_hi) & (t_lo < q_lo))
-        narrow = hi_i - lo_i > w
-        lo_i = jnp.where(narrow & less_m, mid, lo_i)
-        hi_i = jnp.where(narrow & ~less_m, mid, hi_i)
-        return lo_i, hi_i
-
-    lo_c, _ = jax.lax.while_loop(cond, body, (lo_c, hi_c))
-    block = jnp.where(unresolved, lo_c, block)
+    block = jnp.where(k == 0, block2, (f0 + k - 1) * w)
     return start, end, block, miss
 
 
