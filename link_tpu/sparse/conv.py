@@ -311,7 +311,9 @@ def conv3d(x: SparseTensor,
         return x.replace(feats=feats)
 
     if not transposed:
-        key = (x.stride, kernel_size, stride, dilation)
+        # str-tagged like ("table", ...)/("spconv", ...): pytree dict-key
+        # sorting requires homogeneous comparable keys
+        key = ("plan", x.stride, kernel_size, stride, dilation)
         strided = any(s > 1 for s in stride)
         # strided outputs come from unique_coords (sorted); submanifold
         # outputs keep the input's order
@@ -352,7 +354,7 @@ def conv3d(x: SparseTensor,
                            coords_sorted=out_sorted)
     else:
         tensor_stride = tuple(x.stride[k] // stride[k] for k in range(3))
-        tkey = (tensor_stride, kernel_size, stride, dilation)
+        tkey = ("plan", tensor_stride, kernel_size, stride, dilation)
         plan = x.kmaps[tkey]
         if plan.inv_idx is None:
             # build the inverse map once per plan (trace-time cache) so

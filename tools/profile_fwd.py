@@ -110,30 +110,40 @@ def main():
     nnzs = jnp.stack([jnp.asarray(b["nnz"]) for b in batches])
 
     if args.train:
-        import optax
-        from link_tpu.train.losses import segmentation_loss
+        # profile the REAL production step (remat model + plan-saving
+        # policy + batch_stats + SGD), not an ad-hoc loss
+        from link_tpu.train import trainer as T
 
-        tx = optax.sgd(0.01, momentum=0.9, nesterov=True)
-        opt_state = tx.init(params)
+        tmodel = ELKUNet(num_classes=20, cr=1.0, capacities=caps,
+                         dtype="bfloat16", remat=True)
+        tvars = jax.jit(tmodel.init, static_argnums=2)(
+            jax.random.PRNGKey(0), st0, False)
+        tx = T.make_sgd(lambda _: 0.01)
+        state = T.TrainState(step=jnp.int32(0), params=tvars["params"],
+                             batch_stats=tvars["batch_stats"],
+                             opt_state=tx.init(tvars["params"]))
 
         @jax.jit
-        def step(seed, params, opt_state, feats, coords, nnzs):
-            def loss_fn(p):
-                st = make_sparse_tensor(feats[0], coords[0], nnz=nnzs[0],
-                                        base_sorted=True)
-                out = model.apply(p, st, True)
-                tgt = (jnp.abs(jnp.sum(coords[0], -1)) + seed) % 19
-                return segmentation_loss(out, tgt,
-                                         jnp.ones_like(tgt, bool))
+        def step(seed, state, feats, coords, nnzs):
+            batch = dict(feats=feats[0], coords=coords[0], nnz=nnzs[0],
+                         labels=((jnp.abs(jnp.sum(coords[0], -1)) + seed)
+                                 % 19 + 1).astype(jnp.int32))
+            return T.seg_train_step(tmodel, tx, state, batch)
 
-            loss, g = jax.value_and_grad(loss_fn)(params)
-            upd, opt_state = tx.update(g, opt_state)
-            return optax.apply_updates(params, upd), opt_state, loss
-
-        step(jnp.int32(0), params, opt_state, feats, coords, nnzs)[2].block_until_ready()
+        t0 = time.perf_counter()
+        s1, m = step(jnp.int32(0), state, feats, coords, nnzs)
+        float(np.asarray(m["loss"]))
+        print(f"# compile+first: {time.perf_counter() - t0:.1f}s",
+              flush=True)
+        for s in (1, 2):
+            t0 = time.perf_counter()
+            s1, m = step(jnp.int32(s), s1, feats, coords, nnzs)
+            float(np.asarray(m["loss"]))
+            print(f"# steady: {time.perf_counter() - t0:.3f} s/step "
+                  "(host-dispatch incl. tunnel)", flush=True)
         jax.profiler.start_trace(args.trace_dir)
-        out = step(jnp.int32(1), params, opt_state, feats, coords, nnzs)
-        float(np.asarray(out[2]))
+        s1, m = step(jnp.int32(3), s1, feats, coords, nnzs)
+        float(np.asarray(m["loss"]))
         jax.profiler.stop_trace()
         aggregate(args.trace_dir, args.top)
         return
