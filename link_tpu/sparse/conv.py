@@ -36,6 +36,26 @@ from .tensor import ConvPlan, SparseTensor
 # with every chunk on the 256 B plateau. Kept behind a flag for A/B runs.
 WINDOWED_APPLY = False
 
+# Route the gather-matmul apply through a custom VJP whose feature
+# backward is itself a gather-form apply (mirrored taps / inverse map)
+# instead of the K scatter-adds AD emits — f32 scatter-adds are ~16x a
+# row gather on TPU (PLAN.md measurements). Flag for A/B only.
+CUSTOM_VJP = True
+
+
+def mirror_perm(offsets: np.ndarray):
+    """Static tap permutation m with offsets[m[k]] == -offsets[k], or None
+    if the offset set is not symmetric (even kernels / strided taps)."""
+    offs = np.asarray(offsets)
+    lut = {tuple(o): i for i, o in enumerate(offs.tolist())}
+    perm = []
+    for o in offs.tolist():
+        j = lut.get((-o[0], -o[1], -o[2]))
+        if j is None:
+            return None
+        perm.append(j)
+    return tuple(perm)
+
 
 def build_conv_plan(in_coords: jnp.ndarray,
                     out_coords: jnp.ndarray,
@@ -59,6 +79,7 @@ def build_conv_plan(in_coords: jnp.ndarray,
     if table is None:
         table = coordlib.build_table(in_coords, assume_sorted=in_sorted)
     offs_np = np.asarray(offsets)
+    mir = mirror_perm(offs_np) if out_coords is in_coords else None
     if quantum and coordlib.can_group_offsets(offs_np, quantum):
         # submanifold convs query the table's own rows: the center
         # (dy,dz) group then needs no search (see _grouped_query_direct)
@@ -80,7 +101,7 @@ def build_conv_plan(in_coords: jnp.ndarray,
                         out_nnz=out_nnz, in_capacity=in_capacity,
                         out_capacity=out_coords.shape[0],
                         base_pos=base_pos, slot=slot, groups=groups,
-                        self_group=self_gi)
+                        self_group=self_gi, mirror=mir)
     offs = jnp.asarray(offs_np, jnp.int32)                 # (K, 3)
     qxyz = out_coords[None, :, :3] + offs[:, None, :]      # (K, M, 3)
     qb = jnp.broadcast_to(out_coords[None, :, 3:],
@@ -88,7 +109,8 @@ def build_conv_plan(in_coords: jnp.ndarray,
     queries = jnp.concatenate([qxyz, qb], axis=-1)         # (K, M, 4)
     in_idx = table.query(queries)                          # (K, M)
     return ConvPlan(in_idx=in_idx, out_coords=out_coords, out_nnz=out_nnz,
-                    in_capacity=in_capacity, out_capacity=out_coords.shape[0])
+                    in_capacity=in_capacity, out_capacity=out_coords.shape[0],
+                    mirror=mir)
 
 
 def invert_plan(plan: ConvPlan) -> jnp.ndarray:
@@ -209,6 +231,66 @@ def _apply_windowed_transposed(feats: jnp.ndarray, weight: jnp.ndarray,
     return out.astype(feats.dtype)
 
 
+def _gm_impl(feats: jnp.ndarray, weight: jnp.ndarray,
+             idx: jnp.ndarray) -> jnp.ndarray:
+    """out[j] = sum_k feats[idx[k, j]] @ W[k], miss (idx < 0) -> zero row.
+    Unrolled over taps so the gathers pipeline against the matmuls."""
+    n_in = feats.shape[0]
+    ci, co = weight.shape[1], weight.shape[2]
+    feats_ext = jnp.concatenate(
+        [feats, jnp.zeros((1, ci), feats.dtype)], axis=0)
+    safe = jnp.where(idx >= 0, idx, n_in)
+    acc = jnp.zeros((idx.shape[1], co), jnp.float32)
+    for kk in range(idx.shape[0]):
+        x = feats_ext[safe[kk]]
+        acc = acc + jnp.dot(x, weight[kk].astype(x.dtype),
+                            preferred_element_type=jnp.float32)
+    return acc.astype(feats.dtype)
+
+
+@jax.custom_vjp
+def _gm(feats, weight, idx, bwd_idx):
+    """Gather-matmul apply with a gather-form backward.
+
+    `bwd_idx` is the inverse kernel map of `idx` (idx[k, j] == i iff
+    bwd_idx[k, i] == j): mirrored taps for submanifold plans, invert_plan
+    otherwise. AD of the plain apply turns each forward tap gather into
+    an f32 scatter-add (~16x a row gather, the round-3 train profile's
+    dominant cost); with the inverse map the feature backward is the same
+    descriptor-plateau gather+MXU loop as the forward:
+
+        d_feats[i] = sum_k g[bwd_idx[k, i]] @ W[k]^T
+        d_W[k]     = gather(feats, idx[k])^T @ g
+    """
+    return _gm_impl(feats, weight, idx)
+
+
+def _gm_fwd(feats, weight, idx, bwd_idx):
+    return _gm_impl(feats, weight, idx), (feats, weight, idx, bwd_idx)
+
+
+def _gm_bwd(res, g):
+    feats, weight, idx, bwd_idx = res
+    d_feats = _gm_impl(g, jnp.swapaxes(weight, 1, 2), bwd_idx)
+    d_feats = d_feats.astype(feats.dtype)
+    n_in = feats.shape[0]
+    ci = weight.shape[1]
+    feats_ext = jnp.concatenate(
+        [feats, jnp.zeros((1, ci), feats.dtype)], axis=0)
+    safe = jnp.where(idx >= 0, idx, n_in)
+    dws = []
+    for kk in range(idx.shape[0]):                # re-gather (remat-cheap)
+        x = feats_ext[safe[kk]]                                # (M, Ci)
+        dws.append(jnp.dot(x.T, g.astype(x.dtype),
+                           preferred_element_type=jnp.float32))
+    d_w = jnp.stack(dws).astype(weight.dtype)
+    zero = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+    return d_feats, d_w, zero(idx), zero(bwd_idx)
+
+
+_gm.defvjp(_gm_fwd, _gm_bwd)
+
+
 def apply_conv_plan(feats: jnp.ndarray, weight: jnp.ndarray, plan: ConvPlan,
                     transposed: bool = False) -> jnp.ndarray:
     """Execute the plan. `weight` is (K, Ci, Co), reference layout
@@ -231,20 +313,18 @@ def apply_conv_plan(feats: jnp.ndarray, weight: jnp.ndarray, plan: ConvPlan,
             return _apply_windowed(feats, weight, plan)
 
     if not transposed:
-        n_in = feats.shape[0]
-        feats_ext = jnp.concatenate(
-            [feats, jnp.zeros((1, ci), feats.dtype)], axis=0)
-        idx = jnp.where(plan.in_idx >= 0, plan.in_idx, n_in)   # (K, M_out)
-
         # UNROLLED tap loop (not lax.scan): the scan's sequential carry
         # serializes the per-tap gathers; unrolled they pipeline against
         # the matmuls (measured 8.35 vs 8.76 ms at stem scale, round 2)
-        acc = jnp.zeros((plan.out_capacity, co), jnp.float32)
-        for kk in range(k):
-            x = feats_ext[idx[kk]]                             # (M_out, Ci)
-            acc = acc + jnp.dot(x, weight[kk].astype(x.dtype),
-                                preferred_element_type=jnp.float32)
-        return acc.astype(feats.dtype)
+        if CUSTOM_VJP:
+            bwd_idx = None
+            if plan.mirror is not None:      # submanifold: inv == mirror
+                bwd_idx = plan.in_idx[jnp.asarray(plan.mirror)]
+            elif plan.inv_idx is not None:   # strided: eager invert_plan
+                bwd_idx = plan.inv_idx
+            if bwd_idx is not None:
+                return _gm(feats, weight, plan.in_idx, bwd_idx)
+        return _gm_impl(feats, weight, plan.in_idx)
     else:
         # feats live on the plan's *output* side; result on its input side.
         m_in = plan.in_capacity
@@ -252,18 +332,11 @@ def apply_conv_plan(feats: jnp.ndarray, weight: jnp.ndarray, plan: ConvPlan,
         if plan.inv_idx is not None:
             # gather form over the inverse map: out[i] = sum_k
             # feats[inv[k, i]] @ W[k] — replaces K scatter-adds with K
-            # gathers (~4x cheaper, PLAN.md round-2 profile)
-            n_src = feats.shape[0]
-            feats_ext = jnp.concatenate(
-                [feats, jnp.zeros((1, ci), feats.dtype)], axis=0)
-            idx = jnp.where(plan.inv_idx >= 0, plan.inv_idx, n_src)
-
-            acc = jnp.zeros((m_in, co), jnp.float32)
-            for kk in range(k):                    # unrolled, see forward
-                x = feats_ext[idx[kk]]                         # (N_in, Ci)
-                acc = acc + jnp.dot(x, weight[kk].astype(x.dtype),
-                                    preferred_element_type=jnp.float32)
-            return acc.astype(feats.dtype)
+            # gathers (~4x cheaper, PLAN.md round-2 profile); the backward
+            # w.r.t. features is the plan's FORWARD gather form
+            if CUSTOM_VJP:
+                return _gm(feats, weight, plan.inv_idx, plan.in_idx)
+            return _gm_impl(feats, weight, plan.inv_idx)
 
         def body(acc, xs):
             idx_k, w_k = xs                                    # (M_out,), (Ci, Co)
@@ -341,6 +414,11 @@ def conv3d(x: SparseTensor,
                                    quantum=x.stride[0] * dilation[0],
                                    in_sorted=x.coords_sorted,
                                    out_sorted=out_sorted, table=table)
+            if strided and plan.mirror is None:
+                # eager inverse map: the U-Net's matching deconv needs it
+                # anyway (net-zero there), and the custom-vjp backward of
+                # THIS conv needs it at apply time, before the deconv runs
+                plan = plan.replace(inv_idx=invert_plan(plan))
             x.kmaps[key] = plan
 
         feats = apply_conv_plan(x.feats, weight, plan, transposed=False)

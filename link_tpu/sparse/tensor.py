@@ -61,6 +61,13 @@ class ConvPlan:
     # SELF-QUERY submanifold plan (output rows == table rows). Its
     # base_pos is provably j or j-1, so the windowed apply replaces its
     # gather with shifted slices + a select — zero gather descriptors.
+    mirror: Any = struct.field(pytree_node=False, default=None)
+    # ^ static tap permutation with offsets[mirror[k]] == -offsets[k],
+    # set for SUBMANIFOLD plans (out rows == in rows, symmetric offset
+    # set). Then inv_idx[k] == in_idx[mirror[k]] exactly (coord j has
+    # neighbor i at +off iff i has j at -off), so the conv backward
+    # w.r.t. features runs as mirrored-tap GATHERS instead of the
+    # scatter-adds AD would emit (conv._gm custom_vjp).
 
     @property
     def window(self) -> int:

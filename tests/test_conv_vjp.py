@@ -1,0 +1,99 @@
+"""Gradient parity of the custom conv VJP (conv._gm) vs plain AD.
+
+The custom backward rewrites the K scatter-adds AD emits into mirrored-tap
+or inverse-map gathers (conv.py _gm). These tests flip conv.CUSTOM_VJP and
+assert identical gradients — including w.r.t. padding rows, whose queries
+must all miss for the mirror identity to hold exactly.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from link_tpu.sparse import conv as spconv
+from link_tpu.sparse import coords as coordlib
+from link_tpu.sparse.tensor import make_sparse_tensor
+
+
+def _random_sparse(rng, n, cap, c, span=24):
+    coords = np.unique(
+        np.stack([rng.integers(0, span, 4 * n),
+                  rng.integers(0, span, 4 * n),
+                  rng.integers(0, span, 4 * n),
+                  np.zeros(4 * n, np.int64)], 1).astype(np.int32), axis=0)[:n]
+    feats = rng.normal(size=(len(coords), c)).astype(np.float32)
+    pc = np.full((cap, 4), coordlib.INVALID_COORD, np.int32)
+    pc[:len(coords)] = coords
+    pf = np.zeros((cap, c), np.float32)
+    pf[:len(coords)] = feats
+    return pf, pc, np.int32(len(coords))
+
+
+def _grads(fn, *args):
+    return jax.jit(jax.grad(fn, argnums=(0, 1)))(*args)
+
+
+@pytest.mark.parametrize("mode", ["subm", "strided", "transposed"])
+def test_custom_vjp_matches_ad(mode):
+    rng = np.random.default_rng(3)
+    cap, c, co = 512, 8, 12
+    pf, pc, nnz = _random_sparse(rng, 400, cap, c)
+    if mode == "subm":
+        w = rng.normal(size=(27, c, co)).astype(np.float32) * 0.2
+
+        def run(feats, weight):
+            st = make_sparse_tensor(jnp.asarray(feats), jnp.asarray(pc),
+                                    nnz=nnz, base_sorted=False)
+            out = spconv.conv3d(st, weight, 3)
+            valid = (jnp.arange(cap) < nnz)[:, None]
+            return jnp.sum(jnp.where(valid, out.feats, 0.0) ** 2)
+    elif mode == "strided":
+        w = rng.normal(size=(8, c, co)).astype(np.float32) * 0.2
+
+        def run(feats, weight):
+            st = make_sparse_tensor(jnp.asarray(feats), jnp.asarray(pc),
+                                    nnz=nnz, base_sorted=False)
+            out = spconv.conv3d(st, weight, 2, stride=2,
+                                out_capacity=cap // 2)
+            valid = (jnp.arange(cap // 2) < out.nnz)[:, None]
+            return jnp.sum(jnp.where(valid, out.feats, 0.0) ** 2)
+    else:
+        w = rng.normal(size=(8, c, c)).astype(np.float32) * 0.2
+        w2 = jnp.asarray(rng.normal(size=(8, c, co)).astype(np.float32) * 0.2)
+
+        def run(feats, weight):
+            st = make_sparse_tensor(jnp.asarray(feats), jnp.asarray(pc),
+                                    nnz=nnz, base_sorted=False)
+            down = spconv.conv3d(st, weight, 2, stride=2,
+                                 out_capacity=cap // 2)
+            up = spconv.conv3d(down, w2, 2, stride=2, transposed=True)
+            valid = (jnp.arange(cap) < up.nnz)[:, None]
+            return jnp.sum(jnp.where(valid, up.feats, 0.0) ** 2)
+
+    w = jnp.asarray(w)
+    pf = jnp.asarray(pf)
+    try:
+        spconv.CUSTOM_VJP = True
+        g_custom = _grads(run, pf, w)
+        spconv.CUSTOM_VJP = False
+        g_ad = _grads(run, pf, w)
+    finally:
+        spconv.CUSTOM_VJP = True
+    for a, b, name in [(g_custom[0], g_ad[0], "d_feats"),
+                       (g_custom[1], g_ad[1], "d_weight")]:
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4, err_msg=name)
+
+
+def test_mirror_perm():
+    offs = coordlib.kernel_offsets_np((3, 3, 3), stride=(1, 1, 1),
+                                      dilation=(1, 1, 1))
+    mir = spconv.mirror_perm(offs)
+    assert mir is not None
+    np.testing.assert_array_equal(np.asarray(offs)[list(mir)],
+                                  -np.asarray(offs))
+    # even kernels have no mirror
+    offs2 = coordlib.kernel_offsets_np((2, 2, 2), stride=(1, 1, 1),
+                                       dilation=(1, 1, 1))
+    assert spconv.mirror_perm(offs2) is None
