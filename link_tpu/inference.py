@@ -144,10 +144,22 @@ class SingleFramePredictor:
         if points.shape[1] < 5:
             pad = np.zeros((len(points), 5 - points.shape[1]), np.float32)
             points = np.concatenate([points.astype(np.float32), pad], 1)
-        voxels, coords_zyx, nppv = dp.points_to_voxel(
-            points, self.voxel_size, self.point_range, 10, self.max_voxels)
-        b = dp.collate_det([{"voxels": voxels, "coords_zyx": coords_zyx,
-                             "num_points": nppv}], self.cap)
+        from link_tpu import native
+        if native.available() and len(points):
+            # one native pass emits the device-ready batch (no (V, ...)
+            # intermediates, no collate copies) — serving host path
+            vs = np.asarray(self.voxel_size, np.float32)
+            pr = np.asarray(self.point_range, np.float32)
+            grid = np.round((pr[3:6] - pr[:3]) / vs).astype(np.int32)
+            b = native.voxelize_collated(points, vs, pr, grid, 10,
+                                         self.max_voxels, self.cap,
+                                         num_feats=points.shape[1])
+        else:
+            voxels, coords_zyx, nppv = dp.points_to_voxel(
+                points, self.voxel_size, self.point_range, 10,
+                self.max_voxels)
+            b = dp.collate_det([{"voxels": voxels, "coords_zyx": coords_zyx,
+                                 "num_points": nppv}], self.cap)
         self._ensure_vars(b)
         task_outs = self._fwd(self._params, self._bstats,
                               jnp.asarray(b["voxels"]),

@@ -53,7 +53,7 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_int32)]
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64]
         _LIB = lib
     except Exception:
         _LIB = None
@@ -84,9 +84,10 @@ def rotate_nms_sorted(boxes: np.ndarray, thresh: float,
 
 def voxelize_points(points: np.ndarray, voxel_size, pc_range, grid,
                     max_points: int, max_voxels: int):
-    """Dense-grid hard voxelization (voxelize.cpp). Returns (voxels
-    (V, max_points, F), coords (V, 3) zyx, nppv (V,)) in first-appearance
-    order — identical semantics to the reference numba kernel."""
+    """Hash-grid hard voxelization (voxelize.cpp). Returns (voxels
+    (V, max_points, F), coords (V, 3) zyx, nppv (V,)) in pack-key (z, y,
+    x) row order — reference truncation semantics (first max_voxels
+    voxels / first max_points points by appearance)."""
     lib = _build_and_load()
     assert lib is not None
     pts = np.ascontiguousarray(points, np.float32)
@@ -96,13 +97,42 @@ def voxelize_points(points: np.ndarray, voxel_size, pc_range, grid,
     gr = np.ascontiguousarray(grid, np.int32)
     voxels = np.zeros((max_voxels, max_points, f), np.float32)
     coords = np.empty((max_voxels, 3), np.int32)
-    nppv = np.empty((max_voxels,), np.int32)
+    nppv = np.zeros((max_voxels,), np.int32)
     i32 = ctypes.POINTER(ctypes.c_int32)
     nv = lib.voxelize(_fptr(pts), n, f, _fptr(vs), _fptr(pr),
                       gr.ctypes.data_as(i32), max_points, max_voxels,
                       _fptr(voxels), coords.ctypes.data_as(i32),
-                      nppv.ctypes.data_as(i32))
+                      nppv.ctypes.data_as(i32), 0, 0)
     return voxels[:nv], coords[:nv], nppv[:nv]
+
+
+def voxelize_collated(points: np.ndarray, voxel_size, pc_range, grid,
+                      max_points: int, max_voxels: int, capacity: int,
+                      num_feats: int = 5, batch_idx: int = 0):
+    """Single-frame voxelize + collate in one native pass: emits the
+    device-ready batch dict (voxels (cap, mp, F) zero-padded, coords
+    (cap, 4) (x, y, z, b) with INVALID pad, num_points, nnz) with no
+    intermediate (V, ...) arrays or host-side copies — the serving path
+    (inference.SingleFramePredictor)."""
+    lib = _build_and_load()
+    assert lib is not None
+    assert capacity >= max_voxels
+    pts = np.ascontiguousarray(points, np.float32)
+    n, f = pts.shape
+    assert f == num_feats
+    vs = np.ascontiguousarray(voxel_size, np.float32)
+    pr = np.ascontiguousarray(pc_range, np.float32)
+    gr = np.ascontiguousarray(grid, np.int32)
+    voxels = np.zeros((capacity, max_points, f), np.float32)
+    coords = np.full((capacity, 4), -(2 ** 20), np.int32)
+    nppv = np.zeros((capacity,), np.int32)
+    i32 = ctypes.POINTER(ctypes.c_int32)
+    nv = lib.voxelize(_fptr(pts), n, f, _fptr(vs), _fptr(pr),
+                      gr.ctypes.data_as(i32), max_points, max_voxels,
+                      _fptr(voxels), coords.ctypes.data_as(i32),
+                      nppv.ctypes.data_as(i32), 1, batch_idx)
+    return {"voxels": voxels, "coords": coords, "num_points": nppv,
+            "nnz": np.int32(nv)}
 
 
 def bev_iou(boxes_a: np.ndarray, boxes_b: np.ndarray) -> np.ndarray:
