@@ -62,9 +62,12 @@ class FakeNuScenes:
         self._t["calibrated_sensor"]["cs-0"] = {
             "translation": [0.9, 0.0, 1.8], "rotation": yaw_quat(0.0)}
 
+        self.scene = []
         for si, scene_name in enumerate(["scene-0001", "scene-0002"]):
             scene_tok = f"sc{si}"
-            self._t["scene"][scene_tok] = {"name": scene_name}
+            self._t["scene"][scene_tok] = {"token": scene_tok,
+                                           "name": scene_name}
+            self.scene.append(self._t["scene"][scene_tok])
             prev_sd = ""
             for ki in range(2):
                 tok = f"s{si}-{ki}"
@@ -140,8 +143,16 @@ class FakeNuScenes:
                         [rng.normal(box.center, 0.3, (50, 3)),
                          rng.uniform(0, 255, (50, 1)),
                          np.zeros((50, 1))], 1))
-            np.concatenate(pts).astype(np.float32).tofile(
-                os.path.join(self.dataroot, sd["filename"]))
+            cloud = np.concatenate(pts).astype(np.float32)
+            cloud.tofile(os.path.join(self.dataroot, sd["filename"]))
+            # lidarseg labels (keyframes only, like the real dataset):
+            # one raw uint8 class id in [0, 32) per point
+            if not sd["token"].startswith("sdi"):
+                self._t.setdefault("lidarseg", {})[sd["token"]] = {
+                    "filename": sd["filename"] + "_lidarseg.bin"}
+                rng.integers(0, 32, len(cloud)).astype(np.uint8).tofile(
+                    os.path.join(self.dataroot,
+                                 sd["filename"] + "_lidarseg.bin"))
 
     def get(self, table: str, token: str):
         return self._t[table][token]
@@ -190,7 +201,7 @@ def install(monkeypatch, dataroot: str) -> FakeNuScenes:
     mod.NuScenes = ctor
     utils = types.ModuleType("nuscenes.utils")
     splits = types.SimpleNamespace(
-        train=["scene-0001"], val=["scene-0002"],
+        train=["scene-0001"], val=["scene-0002"], test=["scene-0002"],
         mini_train=["scene-0001"], mini_val=["scene-0002"])
     utils.splits = splits
     mod.utils = utils
