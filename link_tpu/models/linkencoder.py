@@ -27,12 +27,14 @@ from .linkunet import DEFAULT_CAPACITIES
 
 def _plan_policy():
     """Remat policy: save the integer kernel-map/join tensors
-    (coords.PLAN_TAG) so the backward pass does not redo the
-    sorts and binary searches -- roughly half the forward
-    cost, all gradient-free (PLAN.md round-2 item)."""
+    (coords.PLAN_TAG) + every conv output (conv.CONV_OUT_TAG) so the
+    backward recompute skips sorts, searches, and gather chains — see
+    linkunet._plan_policy."""
     import jax
+    from ..sparse.conv import CONV_OUT_TAG
     from ..sparse.coords import PLAN_TAG
-    return jax.checkpoint_policies.save_only_these_names(PLAN_TAG)
+    return jax.checkpoint_policies.save_only_these_names(
+        PLAN_TAG, CONV_OUT_TAG)
 
 
 class GroupedPointConv(nn.Module):

@@ -28,12 +28,16 @@ DEFAULT_CAPACITIES = (84992, 62464, 43520, 27648, 14336)
 
 def _plan_policy():
     """Remat policy: save the integer kernel-map/join tensors
-    (coords.PLAN_TAG) so the backward pass does not redo the
-    sorts and binary searches -- roughly half the forward
-    cost, all gradient-free (PLAN.md round-2 item)."""
+    (coords.PLAN_TAG) so the backward pass does not redo the sorts and
+    binary searches, AND every conv output (conv.CONV_OUT_TAG, ~10.9 MB
+    bf16 each at the 85k cap) so the recompute never re-runs a gather
+    chain — only the elementwise BN/ReLU segments between saved conv
+    outputs (round-3: the recompute was ~40% of the train step)."""
     import jax
+    from ..sparse.conv import CONV_OUT_TAG
     from ..sparse.coords import PLAN_TAG
-    return jax.checkpoint_policies.save_only_these_names(PLAN_TAG)
+    return jax.checkpoint_policies.save_only_these_names(
+        PLAN_TAG, CONV_OUT_TAG)
 
 
 class ELKUNet(nn.Module):

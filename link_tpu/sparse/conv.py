@@ -248,6 +248,13 @@ def _gm_impl(feats: jnp.ndarray, weight: jnp.ndarray,
     return acc.astype(feats.dtype)
 
 
+# residual tag for the remat policy: saving each conv's OUTPUT means the
+# backward recompute of a block never re-runs its gather chains — only
+# the elementwise BN/ReLU segments between saved outputs (~10.9 MB bf16
+# per conv at the 85k cap; ~30 convs ≈ 350 MB, well inside HBM)
+CONV_OUT_TAG = "conv_out"
+
+
 @jax.custom_vjp
 def _gm(feats, weight, idx, bwd_idx):
     """Gather-matmul apply with a gather-form backward.
@@ -323,8 +330,10 @@ def apply_conv_plan(feats: jnp.ndarray, weight: jnp.ndarray, plan: ConvPlan,
             elif plan.inv_idx is not None:   # strided: eager invert_plan
                 bwd_idx = plan.inv_idx
             if bwd_idx is not None:
-                return _gm(feats, weight, plan.in_idx, bwd_idx)
-        return _gm_impl(feats, weight, plan.in_idx)
+                return coordlib.checkpoint_name(
+                    _gm(feats, weight, plan.in_idx, bwd_idx), CONV_OUT_TAG)
+        return coordlib.checkpoint_name(
+            _gm_impl(feats, weight, plan.in_idx), CONV_OUT_TAG)
     else:
         # feats live on the plan's *output* side; result on its input side.
         m_in = plan.in_capacity
@@ -335,8 +344,11 @@ def apply_conv_plan(feats: jnp.ndarray, weight: jnp.ndarray, plan: ConvPlan,
             # gathers (~4x cheaper, PLAN.md round-2 profile); the backward
             # w.r.t. features is the plan's FORWARD gather form
             if CUSTOM_VJP:
-                return _gm(feats, weight, plan.inv_idx, plan.in_idx)
-            return _gm_impl(feats, weight, plan.inv_idx)
+                return coordlib.checkpoint_name(
+                    _gm(feats, weight, plan.inv_idx, plan.in_idx),
+                    CONV_OUT_TAG)
+            return coordlib.checkpoint_name(
+                _gm_impl(feats, weight, plan.inv_idx), CONV_OUT_TAG)
 
         def body(acc, xs):
             idx_k, w_k = xs                                    # (M_out,), (Ci, Co)

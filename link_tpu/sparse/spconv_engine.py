@@ -27,8 +27,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import coords as coordlib
-from .conv import apply_conv_plan, build_conv_plan
+from .conv import apply_conv_plan, build_conv_plan, invert_plan
 from .tensor import ConvPlan, SparseTensor
+
+# Build the inverse kernel map for STRIDED plans at plan time so the
+# custom conv VJP (conv._gm) can run the feature backward as gathers.
+# Costs K int32 scatters per forward — pure overhead for inference (no
+# deconv reuses det plans), so the det trainer flips this on only around
+# training traces (train/det_trainer.py).
+EAGER_INVERT = False
 
 
 def spconv_out_shape(in_shape, kernel_size, stride, padding):
@@ -208,6 +215,8 @@ def spconv3d(x: SparseTensor, weight: jnp.ndarray,
                                  in_capacity=x.capacity,
                                  in_sorted=x.is_sorted, out_sorted=True,
                                  table=table)
+        if EAGER_INVERT and plan.mirror is None:
+            plan = plan.replace(inv_idx=invert_plan(plan))
         x.kmaps[key] = plan
     feats = apply_conv_plan(x.feats, weight, plan)
     if bias is not None:

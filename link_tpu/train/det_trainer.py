@@ -78,8 +78,16 @@ def make_det_train_step(model, lr_fn, mom_fn, mesh,
                 lambda x: jnp.mean(x, axis=0), t)
             return jnp.mean(losses), (mean0(bs), mean0(logs))
 
-        (loss, (new_bs, logs)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+        # trace-time flag: strided spconv plans get eager inverse maps so
+        # the conv backward runs gather-form (conv._gm); restored before
+        # the trace ends so predict/eval traces don't pay the inverts
+        from ..sparse import spconv_engine as _se
+        _se.EAGER_INVERT = True
+        try:
+            (loss, (new_bs, logs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+        finally:
+            _se.EAGER_INVERT = False
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         return (TrainState(step=state.step + 1, params=new_params,

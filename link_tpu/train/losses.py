@@ -45,14 +45,23 @@ def lovasz_softmax(probas: jnp.ndarray, labels: jnp.ndarray,
     n, c = probas.shape
     keep = (valid & (labels != ignore_index)).astype(jnp.float32)
 
+    iota = jnp.arange(n, dtype=jnp.int32)
+
     def class_loss(cls):
         fg = ((labels == cls).astype(jnp.float32)) * keep
         errors = jnp.abs(fg - probas[:, cls]) * keep
-        order = jnp.argsort(-errors)
-        errors_sorted = errors[order]
-        fg_sorted = fg[order]
+        # dot(errors_sorted, lovasz_grad) == dot(errors, w) with
+        # w = lovasz_grad routed back to input order. Both permutations
+        # run as stable multi-operand sorts over STOP-GRAD values — (N,)
+        # per-element gathers/scatters are scalar-row descriptor traffic
+        # on TPU (~25x slower than sort payloads, round-3 train profile)
+        # and AD of a sorted-gather emits one. Gradient flows only
+        # through the final dot: d_errors = w, elementwise.
+        neg = -jax.lax.stop_gradient(errors)
+        _, fg_sorted, pos = jax.lax.sort((neg, fg, iota), num_keys=1)
         grad = _lovasz_grad_from_sorted(fg_sorted)
-        loss = jnp.dot(errors_sorted, grad)
+        _, w = jax.lax.sort((pos, grad), num_keys=1)   # w[j] = grad@rank(j)
+        loss = jnp.dot(errors, w)
         present = (jnp.sum(fg) > 0).astype(jnp.float32)
         return loss * present, present
 

@@ -97,3 +97,38 @@ def test_mirror_perm():
     offs2 = coordlib.kernel_offsets_np((2, 2, 2), stride=(1, 1, 1),
                                        dilation=(1, 1, 1))
     assert spconv.mirror_perm(offs2) is None
+
+
+def test_lovasz_perm_take_grad_parity():
+    """losses._perm_take's inverse-gather backward == plain AD scatter."""
+    from link_tpu.train import losses as L
+    rng = np.random.default_rng(7)
+    n, c = 300, 5
+    logits = jnp.asarray(rng.normal(size=(n, c)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, c, n).astype(np.int32))
+    valid = jnp.asarray(rng.random(n) < 0.8)
+
+    def loss_custom(lg):
+        return L.segmentation_loss(lg, labels, valid)[0]
+
+    def loss_plain(lg):
+        probas = jax.nn.softmax(lg.astype(jnp.float32), -1)
+        keep = (valid & (labels != 0)).astype(jnp.float32)
+
+        def class_loss(cls):
+            fg = (labels == cls).astype(jnp.float32) * keep
+            errors = jnp.abs(fg - probas[:, cls]) * keep
+            order = jnp.argsort(-errors)
+            es, fs = errors[order], fg[order]
+            grad = L._lovasz_grad_from_sorted(fs)
+            present = (jnp.sum(fg) > 0).astype(jnp.float32)
+            return jnp.dot(es, grad) * present, present
+
+        losses, presents = jax.vmap(class_loss)(jnp.arange(c))
+        lov = jnp.sum(losses) / jnp.maximum(jnp.sum(presents), 1.0)
+        return L.cross_entropy(lg, labels, valid) + lov
+
+    g1 = jax.jit(jax.grad(loss_custom))(logits)
+    g2 = jax.jit(jax.grad(loss_plain))(logits)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               atol=1e-5, rtol=1e-5)
