@@ -82,6 +82,8 @@ def test_elk_block_forward(baseop, groups):
     assert f.std() > 0
 
 
+@pytest.mark.slow           # ~97 s of join-chain compile; the op-level
+# aggregation oracles (test_voxel_to_aux_to_voxel) stay in the default run
 def test_elk_equals_window_mean_identity_basis():
     """With pos_weight == 0 and baseop 'cos', cos basis degenerates to the
     plain (r s)^3-window count-weighted mean of pre_mix features — an

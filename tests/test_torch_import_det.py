@@ -5,6 +5,7 @@ exactly onto the flax VoxelNet variable tree."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from link_tpu.models.voxelnet import VoxelNet
 from link_tpu.utils.torch_import_det import translate_voxelnet
@@ -98,6 +99,9 @@ def make_det_state_dict():
     return sd
 
 
+@pytest.mark.slow           # ~2 min full-model init compile; numeric det
+# translation coverage stays in the default profile via
+# test_golden_parity.py::test_tselk_block_matches_reference
 def test_det_translation_matches_flax_tree():
     sd = make_det_state_dict()
     translated = translate_voxelnet(sd)
