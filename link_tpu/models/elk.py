@@ -72,6 +72,12 @@ class ELKBlock(nn.Module):
             f_lin = f_input * pw
             mod = jnp.concatenate(
                 [f_input * pw_cos, f_input * pw_sin, f_lin], axis=1)
+        # the f32 trig factors promote mod to f32; cast back so the aux
+        # window gathers move model-dtype rows (f32 keeps 2-3C-channel
+        # rows at 772-1028 B — off the 256 B descriptor plateau, the det
+        # train profile's widest gather slice). Pooling still accumulates
+        # f32 inside spvoxelize/spdevoxelize.
+        mod = mod.astype(st.feats.dtype)
 
         aux, idx, counts = voxel_to_aux(st.replace(feats=mod), s,
                                         self.aux_capacity)

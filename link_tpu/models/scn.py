@@ -68,11 +68,13 @@ class SparseBasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: SparseTensor, train: bool = False) -> SparseTensor:
-        y = SparseConv3d(self.planes, self.planes, 3, use_bias=True)(x)
+        y = SparseConv3d(self.planes, self.planes, 3, use_bias=True,
+                         prefer_window=True)(x)
         y = SparseBatchNorm(self.planes, axis_name=self.bn_axis,
                             **DET_NORM)(y, train)
         y = y.replace(feats=jax.nn.relu(y.feats))
-        y = SparseConv3d(self.planes, self.planes, 3, use_bias=True)(y)
+        y = SparseConv3d(self.planes, self.planes, 3, use_bias=True,
+                         prefer_window=True)(y)
         y = SparseBatchNorm(self.planes, axis_name=self.bn_axis,
                             **DET_NORM)(y, train)
         return y.replace(feats=jax.nn.relu(y.feats + x.feats))
@@ -103,7 +105,7 @@ class SpMiddleResNetFHDELKv3(nn.Module):
         st = make_sparse_tensor(voxel_features, coords, nnz=nnz, stride=1,
                                 base_sorted=self.coords_sorted)
         st = SparseConv3d(self.num_input_features, planes[0], 3,
-                          name="conv_input")(st)
+                          prefer_window=True, name="conv_input")(st)
         st = SparseBatchNorm(planes[0], axis_name=ax, name="conv_input_bn",
                              **DET_NORM)(st, train)
         st = st.replace(feats=jax.nn.relu(st.feats))
@@ -121,7 +123,7 @@ class SpMiddleResNetFHDELKv3(nn.Module):
             y = SparseBasicBlock(c, bn_axis=ax, name=f"conv{lvl+1}_0")(st, train)
             y = SparseBasicBlock(c, bn_axis=ax, name=f"conv{lvl+1}_1")(y, train)
             if self.elk:
-                y = SparseConv3d(c, c, 3, use_bias=False,
+                y = SparseConv3d(c, c, 3, use_bias=False, prefer_window=True,
                                  name=f"conv{lvl+1}_tail")(y)
                 y = SparseBatchNorm(c, axis_name=ax,
                                     name=f"conv{lvl+1}_tail_bn",
@@ -129,7 +131,7 @@ class SpMiddleResNetFHDELKv3(nn.Module):
                 lk = ELKBlock(c, aux_capacity=caps[lvl], baseop="cos",
                               det_grouping=True, name=f"elk{lvl+1}")(
                                   st, self.block_sz, self.elk_r, train)
-                lk = SparseConv3d(c, c, 3, use_bias=False,
+                lk = SparseConv3d(c, c, 3, use_bias=False, prefer_window=True,
                                   name=f"elk{lvl+1}_tail")(lk)
                 lk = SparseBatchNorm(c, axis_name=ax,
                                      name=f"elk{lvl+1}_tail_bn",

@@ -43,6 +43,9 @@ class SparseConv3d(nn.Module):
     use_bias: bool = False
     transposed: bool = False
     out_capacity: Optional[int] = None
+    # opt into the full-window-per-descriptor apply at narrow channels —
+    # wins at det density, loses at seg density (sparse/conv.py gate)
+    prefer_window: bool = False
 
     @nn.compact
     def __call__(self, st: SparseTensor) -> SparseTensor:
@@ -58,7 +61,8 @@ class SparseConv3d(nn.Module):
         return spconv.conv3d(st, kernel, kernel_size=ks, bias=bias,
                              stride=self.stride, dilation=self.dilation,
                              transposed=self.transposed,
-                             out_capacity=self.out_capacity)
+                             out_capacity=self.out_capacity,
+                             prefer_window=self.prefer_window)
 
 
 class SparseBatchNorm(nn.Module):

@@ -18,6 +18,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..sparse import coords as coordlib
 from ..sparse import ops as spops
@@ -74,7 +75,16 @@ def aux_to_voxel(aux: SparseTensor, x: SparseTensor, idx_query: jnp.ndarray,
         [aux.feats, jnp.ones((aux.feats.shape[0], 1), aux.feats.dtype)], axis=1)
     f = f * counts.astype(aux.feats.dtype)[:, None]
     weights = jnp.ones(nb_idx.shape, aux.feats.dtype)
-    window = spops.spdevoxelize(f, nb_idx, weights)             # (M_aux, C+1)
+    # The window sum is a SELF-join over symmetric offsets, so its inverse
+    # map is free: idx[i, k] == j iff idx[j, mirror(k)] == i. Passing it
+    # makes the backward a gather-sum instead of AD's r^3*M-row scatter-add
+    # (the round-3 det train profile's second-largest slice). Odd r only —
+    # even windows have no mirror and fall back to AD.
+    from ..sparse.conv import mirror_perm
+    mir = mirror_perm(offsets)
+    inv_nb = nb_idx[:, np.asarray(mir)] if mir is not None else None
+    window = spops.spdevoxelize(f, nb_idx, weights,
+                                inv_idx=inv_nb)                 # (M_aux, C+1)
     denom = window[:, -1:]
     new_feat = window[:, :-1] / jnp.where(denom == 0, 1, denom)
 

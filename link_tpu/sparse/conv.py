@@ -36,6 +36,25 @@ from .tensor import ConvPlan, SparseTensor
 # with every chunk on the 256 B plateau. Kept behind a flag for A/B runs.
 WINDOWED_APPLY = False
 
+# Full-window-per-descriptor apply (gfit >= G) at narrow channels — a
+# CALLER preference, not a byte rule: det's backbone wins end-to-end
+# (+18% fps with its 16- and 32-ch levels windowed; nuScenes density)
+# while seg LOSES at the same widths (bench 5.64 -> 5.40/5.43 with the
+# 32-ch stem / even just the 4-ch input conv windowed; apply microbench
+# at seg density 8.55 vs 7.67 ms) — the hit-pattern density differs, so
+# each model family opts in (scn.py: prefer_window=True). Env override
+# for A/B runs: "auto" follows the caller, "0" forces off everywhere,
+# a positive int N forces on for rows <= N bytes.
+import os as _os
+WINDOW_FULL_DESC = _os.environ.get("WINDOW_FULL_DESC", "auto")
+
+
+def _window_pref(prefer_window: bool, row_bytes: int) -> bool:
+    if WINDOW_FULL_DESC == "auto":
+        return prefer_window
+    n = int(WINDOW_FULL_DESC)
+    return n > 0 and row_bytes <= n
+
 # Route the gather-matmul apply through a custom VJP whose feature
 # backward is itself a gather-form apply (mirrored taps / inverse map)
 # instead of the K scatter-adds AD emits — f32 scatter-adds are ~16x a
@@ -231,6 +250,118 @@ def _apply_windowed_transposed(feats: jnp.ndarray, weight: jnp.ndarray,
     return out.astype(feats.dtype)
 
 
+def _shift_rows(a: jnp.ndarray, d: int) -> jnp.ndarray:
+    """Row i -> a[i + d], zero-padded (a plain slice — no gather)."""
+    if d == 0:
+        return a
+    z = jnp.zeros((abs(d), a.shape[1]), a.dtype)
+    return (jnp.concatenate([a[d:], z]) if d > 0
+            else jnp.concatenate([z, a[:d]]))
+
+
+def _win_tap_rows(feats, base_pos, slot, groups, self_group):
+    """Assemble each tap's input rows (M, C) from per-GROUP window gathers:
+    one plateau-width descriptor fetches a whole G-row window (G taps),
+    then VPU selects route each tap's slot. Used when the full window fits
+    one descriptor (gfit >= G) — at narrow channels (C*itemsize <= 85 B,
+    e.g. the det backbone's 16/32-channel levels) this cuts gather
+    descriptors ~3x, the measured per-ROW wall (PLAN.md: descriptor cost
+    is per row regardless of width below 256 B). Yields (tap_id, x)."""
+    c = feats.shape[1]
+    m = slot.shape[1]
+    g = max(len(t) for t in groups)
+    gfit = window_chunk(g, c, feats.dtype.itemsize)
+    featsw = _window_table(feats, gfit)
+    i_arr = jnp.arange(m, dtype=jnp.int32)
+    for gi, tap_ids in enumerate(groups):
+        base = base_pos[gi]
+        wins = []
+        for c0 in range(0, g, gfit):
+            if gi == self_group:
+                # self-query center group: base is provably i or i-1 —
+                # shifted slices + one select, no gather descriptors
+                wins.append(jnp.where((base == i_arr - 1)[:, None],
+                                      _shift_rows(featsw, c0 - 1),
+                                      _shift_rows(featsw, c0)))
+            else:
+                wins.append(featsw[base + c0])          # one row gather
+        for t in tap_ids:
+            sl = slot[t]                                # (M,) int8
+            x = jnp.zeros((m, c), feats.dtype)
+            for j in range(g):
+                win = wins[j // gfit]
+                jj = j % gfit
+                x = x + jnp.where((sl == j)[:, None],
+                                  win[:, jj * c:(jj + 1) * c], 0)
+            yield t, x
+
+
+def _win_apply_impl(feats, weight, base_pos, slot, groups, self_group):
+    co = weight.shape[2]
+    m = slot.shape[1]
+    acc = jnp.zeros((m, co), jnp.float32)
+    for t, x in _win_tap_rows(feats, base_pos, slot, groups, self_group):
+        acc = acc + jnp.dot(x, weight[t].astype(x.dtype),
+                            preferred_element_type=jnp.float32)
+    return acc.astype(feats.dtype)
+
+
+def _gm_win_factory(groups, self_group, mirror):
+    """custom-VJP windowed apply for SUBMANIFOLD plans (self-query, mirror
+    symmetry). Backward w.r.t. features is the SAME windowed apply with
+    mirror-permuted transposed weights (d_feats[i] = sum_k g[in_idx[k', i]]
+    @ W[mirror k']^T over the plan's own windows); dW re-assembles each
+    tap's rows from the windows (remat-cheap) and runs per-tap einsums.
+    Cached per static (groups, self_group, mirror) so jit tracing reuses
+    one function identity per plan shape."""
+    key = (groups, self_group, mirror)
+    fn = _GM_WIN_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    @jax.custom_vjp
+    def f(feats, weight, base_pos, slot):
+        return _win_apply_impl(feats, weight, base_pos, slot, groups,
+                               self_group)
+
+    def fwd(feats, weight, base_pos, slot):
+        return (_win_apply_impl(feats, weight, base_pos, slot, groups,
+                                self_group),
+                (feats, weight, base_pos, slot))
+
+    def bwd(res, gout):
+        """One window-assembly pass over gout serves both cotangents:
+        x_t(gout) = gout rows at tap t's targets, so
+
+            d_feats       += x_t(gout) @ W[mirror t]^T
+            d_W[mirror t]  = feats^T @ x_t(gout)
+
+        (x_t(gout) IS gout gathered by the inverse of tap mirror(t) —
+        the same regrouping as _gm_bwd). No second pass over feats."""
+        feats, weight, base_pos, slot = res
+        w_t = jnp.swapaxes(weight, 1, 2)
+        k = weight.shape[0]
+        d_feats = jnp.zeros(feats.shape, jnp.float32)
+        dws = [None] * k
+        for t, xg in _win_tap_rows(gout, base_pos, slot, groups,
+                                   self_group):
+            d_feats = d_feats + jnp.dot(
+                xg, w_t[mirror[t]].astype(xg.dtype),
+                preferred_element_type=jnp.float32)
+            dws[mirror[t]] = jnp.dot(feats.T, xg.astype(feats.dtype),
+                                     preferred_element_type=jnp.float32)
+        d_w = jnp.stack(dws).astype(weight.dtype)
+        zero = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+        return d_feats.astype(feats.dtype), d_w, zero(base_pos), zero(slot)
+
+    f.defvjp(fwd, bwd)
+    _GM_WIN_CACHE[key] = f
+    return f
+
+
+_GM_WIN_CACHE = {}
+
+
 def _gm_impl(feats: jnp.ndarray, weight: jnp.ndarray,
              idx: jnp.ndarray) -> jnp.ndarray:
     """out[j] = sum_k feats[idx[k, j]] @ W[k], miss (idx < 0) -> zero row.
@@ -277,29 +408,42 @@ def _gm_fwd(feats, weight, idx, bwd_idx):
 
 
 def _gm_bwd(res, g):
+    """ONE gather pass serves both cotangents: with the per-tap-injective
+    inverse map, g_hat_k = g[bwd_idx[k]] (miss -> 0) gives
+
+        d_feats   = sum_k g_hat_k @ W[k]^T
+        d_W[k]    = feats^T @ g_hat_k
+
+    (dW via the inverse: sum_j feats[idx[k,j]] (x) g[j] regroups over input
+    rows i as feats[i] (x) g[inv[k,i]] — padding/miss rows contribute the
+    zero row). Halves the backward's gather descriptors vs gathering g for
+    d_feats AND re-gathering feats for dW (round-3 profile: the backward
+    was ~2/3 of all conv gather time)."""
     feats, weight, idx, bwd_idx = res
-    d_feats = _gm_impl(g, jnp.swapaxes(weight, 1, 2), bwd_idx)
-    d_feats = d_feats.astype(feats.dtype)
-    n_in = feats.shape[0]
-    ci = weight.shape[1]
-    feats_ext = jnp.concatenate(
-        [feats, jnp.zeros((1, ci), feats.dtype)], axis=0)
-    safe = jnp.where(idx >= 0, idx, n_in)
+    m_out = g.shape[0]
+    co = weight.shape[2]
+    g_ext = jnp.concatenate([g, jnp.zeros((1, co), g.dtype)], axis=0)
+    safe = jnp.where(bwd_idx >= 0, bwd_idx, m_out)
+    d_feats = jnp.zeros((feats.shape[0], weight.shape[1]), jnp.float32)
     dws = []
-    for kk in range(idx.shape[0]):                # re-gather (remat-cheap)
-        x = feats_ext[safe[kk]]                                # (M, Ci)
-        dws.append(jnp.dot(x.T, g.astype(x.dtype),
+    for kk in range(bwd_idx.shape[0]):
+        gk = g_ext[safe[kk]]                                   # (N_in, Co)
+        d_feats = d_feats + jnp.dot(
+            gk, jnp.swapaxes(weight[kk], 0, 1).astype(gk.dtype),
+            preferred_element_type=jnp.float32)
+        dws.append(jnp.dot(feats.T, gk.astype(feats.dtype),
                            preferred_element_type=jnp.float32))
     d_w = jnp.stack(dws).astype(weight.dtype)
     zero = lambda a: np.zeros(a.shape, jax.dtypes.float0)
-    return d_feats, d_w, zero(idx), zero(bwd_idx)
+    return d_feats.astype(feats.dtype), d_w, zero(idx), zero(bwd_idx)
 
 
 _gm.defvjp(_gm_fwd, _gm_bwd)
 
 
 def apply_conv_plan(feats: jnp.ndarray, weight: jnp.ndarray, plan: ConvPlan,
-                    transposed: bool = False) -> jnp.ndarray:
+                    transposed: bool = False,
+                    prefer_window: bool = False) -> jnp.ndarray:
     """Execute the plan. `weight` is (K, Ci, Co), reference layout
     (nn/modules/conv.py:36-38)."""
     k = weight.shape[0]
@@ -320,6 +464,20 @@ def apply_conv_plan(feats: jnp.ndarray, weight: jnp.ndarray, plan: ConvPlan,
             return _apply_windowed(feats, weight, plan)
 
     if not transposed:
+        # Full-window-per-descriptor apply: when a whole G-row window fits
+        # one 256 B gather (narrow channels — det's 16/32-ch levels), one
+        # descriptor serves G taps. Distinct from the measured-negative
+        # CHUNKED case (gfit < G, round-3: 10.0 vs 7.8 ms) which stays
+        # behind WINDOWED_APPLY. Submanifold-only: the custom VJP needs
+        # the mirror symmetry for the windowed backward.
+        row_bytes = feats.shape[1] * feats.dtype.itemsize
+        if (CUSTOM_VJP and _window_pref(prefer_window, row_bytes)
+                and plan.base_pos is not None
+                and plan.mirror is not None and plan.window > 0
+                and gfit >= plan.window):
+            fn = _gm_win_factory(plan.groups, plan.self_group, plan.mirror)
+            return coordlib.checkpoint_name(
+                fn(feats, weight, plan.base_pos, plan.slot), CONV_OUT_TAG)
         # UNROLLED tap loop (not lax.scan): the scan's sequential carry
         # serializes the per-tap gathers; unrolled they pipeline against
         # the matmuls (measured 8.35 vs 8.76 ms at stem scale, round 2)
@@ -370,7 +528,8 @@ def conv3d(x: SparseTensor,
            stride: Union[int, Tuple[int, ...]] = 1,
            dilation: Union[int, Tuple[int, ...]] = 1,
            transposed: bool = False,
-           out_capacity: Optional[int] = None) -> SparseTensor:
+           out_capacity: Optional[int] = None,
+           prefer_window: bool = False) -> SparseTensor:
     """Sparse conv with functional kmap caching, mirroring
     nn/functional/conv.py:86-147 semantics:
 
@@ -433,7 +592,8 @@ def conv3d(x: SparseTensor,
                 plan = plan.replace(inv_idx=invert_plan(plan))
             x.kmaps[key] = plan
 
-        feats = apply_conv_plan(x.feats, weight, plan, transposed=False)
+        feats = apply_conv_plan(x.feats, weight, plan, transposed=False,
+                                prefer_window=prefer_window)
         if bias is not None:
             feats = feats + bias
         new_stride = tuple(x.stride[k] * stride[k] for k in range(3))

@@ -34,26 +34,89 @@ def spvoxelize(feats: jnp.ndarray, idx: jnp.ndarray,
     """
     m = counts.shape[0]
     safe = jnp.where(idx >= 0, idx, m)
-    summed = jnp.zeros((m + 1, feats.shape[1]), feats.dtype).at[safe].add(feats)
+    # accumulate f32 regardless of feature dtype: aux cells pool up to
+    # s^3 * dozens of voxels — bf16 accumulation would lose ~6 mantissa
+    # bits on the sums
+    summed = jnp.zeros((m + 1, feats.shape[1]),
+                       jnp.float32).at[safe].add(feats.astype(jnp.float32))
     summed = summed[:m]
-    denom = jnp.maximum(counts, 1).astype(feats.dtype)[:, None]
-    return summed / denom
+    denom = jnp.maximum(counts, 1).astype(jnp.float32)[:, None]
+    return (summed / denom).astype(feats.dtype)
+
+
+def _spdevoxelize_impl(feats: jnp.ndarray, idx: jnp.ndarray,
+                       weights: jnp.ndarray) -> jnp.ndarray:
+    n_in, c = feats.shape
+    feats_ext = jnp.concatenate(
+        [feats, jnp.zeros((1, c), feats.dtype)], axis=0)
+    safe = jnp.where(idx >= 0, idx, n_in)
+    w = jnp.where(idx >= 0, weights, 0).astype(feats.dtype)
+    if c * feats.dtype.itemsize <= 272:   # ~1 descriptor tile (257-ch det
+        # level lands at 258 B bf16 — still effectively plateau-rate)
+        # narrow rows (det aux feats): unrolled per-tap gather+axpy —
+        # never materializes the (N, K, C) window tensor (584 MB f32 at
+        # the det stem; the round-3 train profile's unattributed
+        # while/DUS buffers), and gathers stay descriptor-rate
+        acc = jnp.zeros((idx.shape[0], c), jnp.float32)
+        for k in range(idx.shape[1]):
+            acc = acc + (feats_ext[safe[:, k]]
+                         * w[:, k, None]).astype(jnp.float32)
+        return acc.astype(feats.dtype)
+    # wide rows (seg's 3C+1-channel cos_x aux feats): fused gather-reduce
+    # — the unrolled f32 accumulator chain measured 4% SLOWER end-to-end
+    # at 386 B rows (bench 5.41 vs 5.64 scans/s)
+    gathered = feats_ext[safe]                           # (N, K, C)
+    return jnp.sum(gathered * w[..., None], axis=1)
+
+
+@jax.custom_vjp
+def _spdevoxelize_inv(feats, idx, weights, inv_idx):
+    """Gather-sum whose feature backward is itself a gather-sum over the
+    inverse map `inv_idx` (idx[inv_idx[j, k], k] == j where valid; for the
+    ELK aux self-join over symmetric offsets, inv_idx = idx[:, mirror]).
+    Contract: `weights` must be all-ones (the validity mask is applied
+    internally) and receives a ZERO cotangent — callers with constant
+    weights only. AD of the plain form emits a K*N-row f32 scatter-add
+    (~150 ms/step in the det train profile); this form replaces it with
+    the same descriptor-plateau gathers as the forward."""
+    return _spdevoxelize_impl(feats, idx, weights)
+
+
+def _spdevoxelize_inv_fwd(feats, idx, weights, inv_idx):
+    proto = jnp.zeros((0,), feats.dtype)          # dtype carrier
+    return _spdevoxelize_impl(feats, idx, weights), (idx, inv_idx,
+                                                     weights, proto)
+
+
+def _spdevoxelize_inv_bwd(res, g):
+    idx, inv_idx, weights, proto = res
+    ones = jnp.ones(inv_idx.shape, g.dtype)
+    d_feats = _spdevoxelize_impl(g, inv_idx, ones).astype(proto.dtype)
+    import numpy as _np
+    zero = lambda a: _np.zeros(a.shape, jax.dtypes.float0)
+    return d_feats, zero(idx), jnp.zeros_like(weights), zero(inv_idx)
+
+
+_spdevoxelize_inv.defvjp(_spdevoxelize_inv_fwd, _spdevoxelize_inv_bwd)
 
 
 def spdevoxelize(feats: jnp.ndarray, idx: jnp.ndarray,
-                 weights: jnp.ndarray) -> jnp.ndarray:
+                 weights: jnp.ndarray,
+                 inv_idx: jnp.ndarray = None) -> jnp.ndarray:
     """Weighted gather-sum: out[i] = sum_k w[i,k] * feats[idx[i,k]].
 
     Matches the r-generalized devoxelize of the "-u" fork
     (devoxelize_cuda.cu:11-34 with R = r^3); idx -1 contributes zero.
+
+    `inv_idx` (optional, (n_in, K)): inverse map with
+    idx[inv_idx[j, k], k] == j wherever inv_idx[j, k] >= 0, covering every
+    valid (i, k) pair exactly once. When given, the backward runs in
+    gather form over it instead of AD's scatter-add — requires `weights`
+    to be constant all-ones (they get a zero cotangent).
     """
-    n_in = feats.shape[0]
-    safe = jnp.where(idx >= 0, idx, n_in)
-    feats_ext = jnp.concatenate(
-        [feats, jnp.zeros((1, feats.shape[1]), feats.dtype)], axis=0)
-    gathered = feats_ext[safe]                       # (N, K, C)
-    w = jnp.where(idx >= 0, weights, 0).astype(feats.dtype)[..., None]
-    return jnp.sum(gathered * w, axis=1)
+    if inv_idx is not None:
+        return _spdevoxelize_inv(feats, idx, weights, inv_idx)
+    return _spdevoxelize_impl(feats, idx, weights)
 
 
 def spdownsample(coords: jnp.ndarray, out_capacity: int,

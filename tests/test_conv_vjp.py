@@ -34,18 +34,29 @@ def _grads(fn, *args):
     return jax.jit(jax.grad(fn, argnums=(0, 1)))(*args)
 
 
-@pytest.mark.parametrize("mode", ["subm", "strided", "transposed"])
+@pytest.mark.parametrize("mode", ["subm", "subm_sorted", "strided",
+                                  "transposed"])
 def test_custom_vjp_matches_ad(mode):
     rng = np.random.default_rng(3)
     cap, c, co = 512, 8, 12
     pf, pc, nnz = _random_sparse(rng, 400, cap, c)
+    sorted_in = mode == "subm_sorted"
+    if sorted_in:
+        # pack-key order -> the plan carries the window form and, at
+        # c*itemsize*G <= 256 B, the conv runs the WINDOWED custom-VJP
+        # path (_gm_win_factory) — this variant pins its grad parity
+        hi, lo = coordlib.pack_coords(jnp.asarray(pc))
+        order = np.lexsort((np.asarray(lo), np.asarray(hi)))
+        pc = pc[order]
+        pf = pf[order]
+        mode = "subm"
     if mode == "subm":
         w = rng.normal(size=(27, c, co)).astype(np.float32) * 0.2
 
         def run(feats, weight):
             st = make_sparse_tensor(jnp.asarray(feats), jnp.asarray(pc),
-                                    nnz=nnz, base_sorted=False)
-            out = spconv.conv3d(st, weight, 3)
+                                    nnz=nnz, base_sorted=sorted_in)
+            out = spconv.conv3d(st, weight, 3, prefer_window=sorted_in)
             valid = (jnp.arange(cap) < nnz)[:, None]
             return jnp.sum(jnp.where(valid, out.feats, 0.0) ** 2)
     elif mode == "strided":
@@ -132,3 +143,48 @@ def test_lovasz_perm_take_grad_parity():
     g2 = jax.jit(jax.grad(loss_plain))(logits)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_spdevoxelize_mirror_grad_parity():
+    """aux_to_voxel's window-sum backward (mirror inverse map) == plain AD,
+    including padding rows and boundary cells with missing neighbors."""
+    from link_tpu.sparse import ops as spops
+
+    rng = np.random.default_rng(11)
+    cap, c = 256, 9
+    feats, coords, nnz = _random_sparse(rng, 200, cap, c, span=10)
+    coords_j = jnp.asarray(coords)
+    hi, lo = coordlib.pack_coords(coords_j)
+    order = np.lexsort((np.asarray(lo), np.asarray(hi)))
+    coords_j = coords_j[order]
+    feats = feats[order]
+    table = coordlib.build_table(coords_j, assume_sorted=True)
+    offs = coordlib.kernel_offsets_np((3, 3, 3), stride=1, dilation=1)
+    nb_idx, _, _ = coordlib.grouped_window_query(
+        table, coords_j, offs, 1, queries_sorted=True, self_query=True)
+    nb_idx = nb_idx.T                                    # (cap, 27)
+    mir = spconv.mirror_perm(offs)
+    inv_nb = nb_idx[:, np.asarray(mir)]
+    # the inverse-map identity the VJP relies on
+    nb_np, inv_np = np.asarray(nb_idx), np.asarray(inv_nb)
+    for k in range(nb_np.shape[1]):
+        j = np.nonzero(inv_np[:, k] >= 0)[0]
+        np.testing.assert_array_equal(nb_np[inv_np[j, k], k], j)
+    w = jnp.ones(nb_idx.shape, jnp.float32)
+    cot = jnp.asarray(rng.normal(size=(cap, c)).astype(np.float32))
+
+    def loss_inv(f):
+        return jnp.vdot(spops.spdevoxelize(f, nb_idx, w, inv_idx=inv_nb),
+                        cot)
+
+    def loss_ad(f):
+        return jnp.vdot(spops.spdevoxelize(f, nb_idx, w), cot)
+
+    f = jnp.asarray(feats)
+    np.testing.assert_allclose(
+        np.asarray(jax.jit(jax.grad(loss_inv))(f)),
+        np.asarray(jax.jit(jax.grad(loss_ad))(f)), atol=1e-5, rtol=1e-5)
+    # forward parity too
+    np.testing.assert_allclose(
+        np.asarray(spops.spdevoxelize(f, nb_idx, w, inv_idx=inv_nb)),
+        np.asarray(spops.spdevoxelize(f, nb_idx, w)), atol=1e-6)

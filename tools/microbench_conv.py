@@ -160,20 +160,35 @@ def main():
         plan_old = ConvPlan(in_idx=in_idx, out_coords=coords,
                             out_nnz=jnp.int32(n), in_capacity=n,
                             out_capacity=n)
+        mir = C.mirror_perm(offsets)
         plan_win = ConvPlan(in_idx=in_idx, out_coords=coords,
                             out_nnz=jnp.int32(n), in_capacity=n,
                             out_capacity=n, base_pos=base_pos, slot=slot,
-                            groups=groups)
+                            groups=groups, mirror=mir)
 
-        def apply_body(plan):
+        def apply_body(plan, train=False):
             def body(seed, feats, w):
                 f2 = feats * (1 + seed.astype(feats.dtype) * 0)
                 f2 = f2.at[0, 0].add(seed.astype(feats.dtype) * 1e-6)
-                out = C.apply_conv_plan(f2, w, plan)
-                return jnp.sum(out[::1024].astype(jnp.float32))
+                if not train:
+                    out = C.apply_conv_plan(f2, w, plan)
+                    return jnp.sum(out[::1024].astype(jnp.float32))
+
+                def lo(f3):
+                    out = C.apply_conv_plan(f3, w, plan)
+                    return jnp.sum(out.astype(jnp.float32) ** 2)
+                return jnp.sum(jax.grad(lo)(f2)[::1024].astype(jnp.float32))
             return body
+        # plan_old: no mirror -> per-tap _gm_impl; plan_win: windowed
+        # custom-VJP path when gfit >= G (narrow channels), else per-tap
         timed("apply per-tap scan", loop(apply_body(plan_old)), feats, w)
         timed("apply windowed", loop(apply_body(plan_win)), feats, w)
+        # mirror without window form -> _gm per-tap custom VJP
+        plan_mir = ConvPlan(in_idx=in_idx, out_coords=coords,
+                            out_nnz=jnp.int32(n), in_capacity=n,
+                            out_capacity=n, mirror=mir)
+        timed("fwd+vjp per-tap", loop(apply_body(plan_mir, True)), feats, w)
+        timed("fwd+vjp windowed", loop(apply_body(plan_win, True)), feats, w)
 
     if want("conv"):
         def conv(sorted_):

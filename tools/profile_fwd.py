@@ -88,6 +88,61 @@ def main():
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    if args.det and args.train:
+        # the det train step at the real 160k-voxel cap (one-cycle Adam,
+        # EAGER_INVERT gather backward)
+        from link_tpu.data import det_pipeline as dp
+        from link_tpu.data.nuscenes import SyntheticNuScenes
+        from link_tpu.models.voxelnet import VoxelNet
+        from link_tpu.train import det_trainer as DT
+        from link_tpu.train import schedules
+        from link_tpu.train.trainer import TrainState
+
+        cap = 163840
+        ds = SyntheticNuScenes(length=2, mode="train", seed=0,
+                               max_voxels=160000)
+        batches = [dp.collate_det([ds[i]], cap) for i in range(2)]
+        model = VoxelNet(num_input_features=5, batch_size=1,
+                         grid_shape=(1440, 1440, 40),
+                         capacities=(cap, cap // 2, cap // 4, cap // 8))
+        b0 = batches[0]
+        variables = jax.jit(model.init, static_argnums=5)(
+            jax.random.PRNGKey(0), jnp.asarray(b0["voxels"]),
+            jnp.asarray(b0["coords"]), jnp.asarray(b0["num_points"]),
+            jnp.asarray(b0["nnz"]), False)
+        lr_fn, mom_fn = schedules.one_cycle(1e-3, 1000)
+        init_fn, step = DT.make_det_train_step(model, lr_fn, mom_fn,
+                                               mesh=None)
+        state = TrainState(step=jnp.int32(0), params=variables["params"],
+                           batch_stats=variables["batch_stats"],
+                           opt_state=init_fn(variables["params"]))
+
+        def gb(b):
+            g = {k: jnp.asarray(b[k])[None]
+                 for k in ("voxels", "coords", "num_points", "nnz")}
+            for key in ("hm", "anno_box", "ind", "mask", "cat"):
+                g[key] = [jnp.asarray(v)[None] for v in b[key]]
+            return g
+
+        gbatches = [gb(b) for b in batches]
+        t0 = time.perf_counter()
+        state, m = step(state, gbatches[0])
+        float(np.asarray(m["loss"]))
+        print(f"# det-train compile+first: {time.perf_counter() - t0:.1f}s",
+              flush=True)
+        for s in (1, 2):
+            t0 = time.perf_counter()
+            state, m = step(state, gbatches[s % 2])
+            float(np.asarray(m["loss"]))
+            print(f"# steady: {time.perf_counter() - t0:.3f} s/step",
+                  flush=True)
+        jax.profiler.start_trace(args.trace_dir)
+        state, m = step(state, gbatches[1])
+        float(np.asarray(m["loss"]))
+        jax.profiler.stop_trace()
+        aggregate(args.trace_dir, args.top)
+        return
+
     from link_tpu.data.collate import collate_scans
     from link_tpu.data.semantic_kitti import SyntheticSemanticKITTI
     from link_tpu.models.linkunet import DEFAULT_CAPACITIES, ELKUNet
