@@ -172,15 +172,26 @@ BRACKET_SAMPLE = 32
 # --- direct-address index parameters (round 3). The join is reformulated
 # from per-query binary search (~5-7 row-gather descriptors each, the
 # measured round-2 wall) to a THREE-GATHER pipeline, all three on the
-# <=256 B descriptor-rate plateau:
-#   1. dense (b, z, y) -> [start, end) x-run lookup        (8 B row)
-#   2. fence window: 64 subsampled keys spanning 1536 rows (256 B row)
-#   3. key+perm window: 28 consecutive rows resolving every
-#      tap of a (dy, dz) group at once                     (224 B row)
-DIRECT_W = 24        # rows per fence block
-DIRECT_WIN = 28      # winlp window rows (W + max group run length)
-DIRECT_FW = 64       # fences per fence-window row (64 x int32 = 256 B)
-DIRECT_P_FACTOR = 6  # dense-prefix capacity = factor * table rows
+# <=256 B descriptor-rate plateau and all FULL-KEY (hi, lo) so every
+# narrowing step is exact for any input:
+#   1. fence-1.5 window: 32 full-key fences at S1 = W*FW row spacing,
+#      bracketing the lower bound to S1 rows            (256 B row)
+#   2. fence-1 window: 32 full-key fences at W row spacing, bracketing
+#      to W rows                                        (256 B row)
+#   3. key+perm window: WIN consecutive [hi | lo | perm] rows resolving
+#      the lower bound AND every tap of a (dy, dz) group (228 B row)
+# plus a level-2 broadcast compare against the tiny global fence array
+# (one full key every S1*FW = 12288 rows) that seeds level 1.5 — so the
+# join has NO data-dependent control flow at all. The original round-3
+# formulation used a dense (b, z, y) -> x-run prefix table here; it was
+# replaced because (a) its 6N-row shape sat past the gather engine's
+# row-count cliff (measured: (512k, 2) i32 gathers at 167 Mrows/s vs 354
+# for the same bytes in fewer rows), and (b) its capacity-overflow
+# fallback compared lo-only fences across prefix boundaries — provably
+# inexact (tests/test_direct_index.py reproduces both failure modes).
+DIRECT_W = 12        # rows per level-1 fence block
+DIRECT_WIN = 19      # winlp rows; covers W + max tap-run span 6 (ks7)
+DIRECT_FW = 32       # full-key fences per window row (2 x 32 int32 = 256 B)
 DIRECT_ENABLED = True  # global kill-switch (microbench A/B comparisons)
 
 
@@ -350,9 +361,8 @@ class CoordTable:
         flat = coords.reshape(-1, coords.shape[-1])
         q_hi, q_lo = pack_coords(flat)
         if self.direct is not None:
-            start, end, block, miss = _direct_locate(self.direct, q_hi, q_lo)
-            res, _, _ = _direct_resolve(self.direct, start, end, block,
-                                        q_lo, (0,), miss=miss)
+            block = _direct_locate(self.direct, q_hi, q_lo)
+            res, _, _ = _direct_resolve(self.direct, block, q_hi, q_lo, (0,))
             return checkpoint_name(res[0].reshape(shape), PLAN_TAG)
         if queries_sorted:
             pos = lower_bound_rows_bracketed(self.rows, q_hi, q_lo)
@@ -392,204 +402,140 @@ class DirectIndex:
     """Direct-address join index over a sorted key table (round 3).
 
     The binary searches of rounds 1-2 cost ~5-7 row-gather descriptors per
-    query — the measured round-2 wall (PLAN.md: searches ~55 ms of a
-    225 ms forward; det probes 126 ms). This index resolves a whole
+    query -- the measured round-2 wall (PLAN.md: searches ~55 ms of a
+    236 ms forward; det probes 126 ms). This index resolves a whole
     (dy, dz) tap group with THREE gathers, each on the <=256 B
-    descriptor-rate plateau:
+    descriptor-rate plateau and each comparing FULL (hi, lo) keys, so
+    every narrowing step is exact for any input:
 
-      1. `se[lin(b, z, y)]` — a dense prefix table mapping each (batch, z,
-         y) cell of the populated bounding box to its x-run [start, end)
-         in the sorted table (empty prefixes get start == end). 8 B row.
-      2. `fence_win[ceil(start/W)]` — W-subsampled `lo` keys ("fences") of
-         the table; one 64-fence window brackets the query's lower bound
-         to a W-row block for runs up to 64*W = 1536 rows. 256 B row.
-      3. `winlp[block]` — WIN consecutive [lo | perm] table rows; masked
-         compares resolve the lower bound AND every tap of the group
-         (their candidate x's occupy consecutive rows — the quantum-run
-         invariant of grouped_window_query). 224 B row.
+      1. `fence15[b2 * FW]` -- 32 full-key fences at S1 = W*FW row
+         spacing, narrowing the level-2 bracket to S1 rows. 256 B row,
+         ceil(N/S1)-row table.
+      2. `fence1[f15 * FW]` -- 32 full-key fences at W-row spacing,
+         narrowing to W rows. 256 B row, ceil(N/W)-row table.
+      3. `winlp[block]` -- WIN consecutive [hi | lo | perm] table rows;
+         masked compares resolve the lower bound AND every tap of the
+         group (their candidate x's occupy consecutive rows -- the
+         quantum-run invariant of grouped_window_query). 228 B row.
 
-    Runs longer than the fence coverage and dense-capacity overflows fall
-    back to an exact bisection while_loop (0 iterations in practice), so
-    results are exact for ANY input. No sorted-queries requirement — the
-    bracketed search machinery is bypassed entirely where an index exists.
+    Level 2 is a broadcast compare against the tiny global fence array
+    (`fence2`, one full key every S1*FW rows -- a handful of entries), so
+    the join has NO data-dependent control flow anywhere. All tables sit
+    far below the gather engine's row-count cliff (measured round 3: the
+    per-row gather rate HALVES past a few hundred thousand table rows --
+    167 vs 354 Mrows/s for the same bytes -- which is why the original
+    dense (b, z, y)->x-run prefix table, 6N rows, was replaced by this
+    hierarchy; its capacity-overflow path also compared lo-only keys
+    across prefix boundaries, which was provably inexact -- both failure
+    modes are pinned in tests/test_direct_index.py).
 
     Replaces the reference's cuckoo-table O(1) lookup
     (backend/hashmap/hashmap_cuda.cu) with a TPU-shaped O(1) lookup.
     """
 
     rows: jnp.ndarray
-    se: jnp.ndarray                  # (P+2, 2): [start, end); row P = full
-    #                                  range (overflow), row P+1 = empty
-    fence_win: jnp.ndarray           # (NF, FW) int32 lo fences
-    winlp: jnp.ndarray               # (N, 2*WIN): [lo x WIN | perm x WIN]
-    fence2: jnp.ndarray              # (2, NF2): [hi | lo] every W*FW rows
-    box: jnp.ndarray                 # (5,) int32: zmin, zspan, ymin,
-    #                                  yspan, n_valid
-    capacity: int = struct.field(pytree_node=False)  # dense capacity P
+    fence1: jnp.ndarray              # (ceil(N/W), 2*FW): [hi x FW|lo x FW]
+    fence15: jnp.ndarray             # (ceil(N/(W*FW)), 2*FW)
+    fence2: jnp.ndarray              # (2, ceil(N/(W*FW*FW))): broadcast
+    winlp: jnp.ndarray               # (N, 3*WIN): [hi | lo | perm] x WIN
 
 
-def _row_prefix(hi: jnp.ndarray, lo: jnp.ndarray):
-    """(batch, z, y) components of packed keys."""
-    b = hi >> Z_BITS
-    z = hi & (SPAN_Z - 1)
-    y = lo >> X_BITS
-    return b, z, y
-
-
-def build_direct_index(rows: jnp.ndarray,
-                       capacity: int = None) -> DirectIndex:
+def build_direct_index(rows: jnp.ndarray) -> DirectIndex:
     """Build the DirectIndex for a sorted key table. All steps are
-    bandwidth-bound (one N-scatter, one P-cummin, window concats) — no
+    bandwidth-bound (strided slices + window concats) -- no
     descriptor-bound gathers."""
     n = rows.shape[0]
-    if capacity is None:
-        capacity = max(4096, DIRECT_P_FACTOR * n)
-    p = capacity
     hi, lo, perm = rows[:, 0], rows[:, 1], rows[:, 2]
-    valid = key_is_valid(hi)
-    b, z, y = _row_prefix(hi, lo)
-    big = jnp.int32(2**30)
-    zmin = jnp.min(jnp.where(valid, z, big))
-    zmax = jnp.max(jnp.where(valid, z, -big))
-    ymin = jnp.min(jnp.where(valid, y, big))
-    ymax = jnp.max(jnp.where(valid, y, -big))
-    zspan = jnp.maximum(zmax - zmin + 1, 1)
-    yspan = jnp.maximum(ymax - ymin + 1, 1)
-    n_valid = jnp.sum(valid.astype(jnp.int32))
+    w1, fw, win = DIRECT_W, DIRECT_FW, DIRECT_WIN
+    s1 = w1 * fw
+    mx = jnp.full((fw,), INT32_MAX, jnp.int32)
 
-    lin = (b * zspan + (z - zmin)) * yspan + (y - ymin)
-    lin = jnp.where(valid & (lin >= 0) & (lin < p), lin, p)
-    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), lin[:-1]])
-    first = (lin != prev) & (lin < p)
-    # starts[q] = first table row whose prefix lin >= q (suffix-min fill
-    # gives empty prefixes start == next run's start => zero-length run)
-    tmp = jnp.full((p + 2,), n, jnp.int32)     # slot p+1 = scatter dump
-    tmp = tmp.at[jnp.where(first, lin, p + 1)].min(
-        jnp.arange(n, dtype=jnp.int32), mode="drop")
-    tmp = tmp.at[p].set(n_valid)               # boundary: end of last run
-    starts = jax.lax.cummin(tmp[:p + 1], axis=0, reverse=True)
-    se = jnp.stack([starts[:p], starts[1:p + 1]], axis=1)      # (P, 2)
-    sent = jnp.asarray([[0, 0]], jnp.int32)
-    over = jnp.stack([jnp.zeros((), jnp.int32), n_valid])[None, :]
-    se = jnp.concatenate([se, over, sent], axis=0)             # (P+2, 2)
+    def windows(fhi, flo):
+        # row i = [fhi[i : i+FW] | flo[i : i+FW]], padded past the end
+        # with never-less-than sentinels
+        nf = fhi.shape[0]
+        he = jnp.concatenate([fhi, mx])
+        le = jnp.concatenate([flo, mx])
+        cols = ([he[j:j + nf] for j in range(fw)]
+                + [le[j:j + nf] for j in range(fw)])
+        return jnp.stack(cols, axis=1)                     # (nf, 2*FW)
 
-    # fences: every W-th row's lo key; windows of FW consecutive fences
-    w, fw, win = DIRECT_W, DIRECT_FW, DIRECT_WIN
-    fences = lo[::w]                                           # (NF0,)
-    nf0 = fences.shape[0]
-    f_ext = jnp.concatenate([fences, jnp.full((fw,), INT32_MAX, jnp.int32)])
-    fence_win = jnp.stack([f_ext[j:j + nf0] for j in range(fw)], axis=1)
+    fence1 = windows(hi[::w1], lo[::w1])
+    fence15 = windows(hi[::s1], lo[::s1])
+    fence2 = jnp.stack([hi[::s1 * fw], lo[::s1 * fw]], axis=0)
 
-    # level-2 fences: every (W*FW)-th row's FULL key, covering the whole
-    # table. Tiny (ceil(N/1536) entries) => consumed as a broadcast
-    # compare, no gather. Guarantees the level-1 fence window always
-    # brackets the lower bound, deleting the bisection while_loop the
-    # round-3 profile measured at ~21 ms/scan of pure loop overhead.
-    s2 = w * fw
-    fence2 = jnp.stack([hi[::s2], lo[::s2]], axis=0)           # (2, NF2)
-
-    # winlp: WIN consecutive [lo | perm] rows per window position
+    # winlp: WIN consecutive [hi | lo | perm] rows per window position
+    hi_ext = jnp.concatenate([hi, jnp.full((win,), INT32_MAX, jnp.int32)])
     lo_ext = jnp.concatenate([lo, jnp.full((win,), INT32_MAX, jnp.int32)])
     pm_ext = jnp.concatenate([perm, jnp.full((win,), -1, jnp.int32)])
-    cols = ([lo_ext[j:j + n] for j in range(win)]
+    cols = ([hi_ext[j:j + n] for j in range(win)]
+            + [lo_ext[j:j + n] for j in range(win)]
             + [pm_ext[j:j + n] for j in range(win)])
-    winlp = jnp.stack(cols, axis=1)                            # (N, 2*WIN)
+    winlp = jnp.stack(cols, axis=1)                        # (N, 3*WIN)
 
-    box = jnp.stack([zmin, zspan, ymin, yspan, n_valid])
-    return DirectIndex(rows, checkpoint_name(se, PLAN_TAG),
-                       checkpoint_name(fence_win, PLAN_TAG), winlp,
-                       checkpoint_name(fence2, PLAN_TAG),
-                       checkpoint_name(box, PLAN_TAG), p)
+    return DirectIndex(rows, checkpoint_name(fence1, PLAN_TAG),
+                       checkpoint_name(fence15, PLAN_TAG),
+                       checkpoint_name(fence2, PLAN_TAG), winlp)
 
 
 def _direct_locate(d: DirectIndex, q_hi: jnp.ndarray, q_lo: jnp.ndarray):
-    """Per query key: its prefix x-run [start, end) and a `block` row with
-    lower_bound(q) guaranteed in [block, block + W]. Exact for any input
-    (bisection backstop for fence-coverage misses / capacity overflows).
-    """
-    p = d.capacity
-    w, fw = DIRECT_W, DIRECT_FW
-    zmin, zspan, ymin, yspan = d.box[0], d.box[1], d.box[2], d.box[3]
-    b, z, y = _row_prefix(q_hi, q_lo)
-    pad = q_hi == INT32_MAX
-    inbox = (~pad & (z >= zmin) & (z < zmin + zspan)
-             & (y >= ymin) & (y < ymin + yspan) & (b >= 0))
-    # out-of-box queries are guaranteed misses, but they still get the
-    # CLAMPED prefix's run as a base: downstream consumers (the one-hot
-    # Pallas kernel) tile windows by base spread, so bases must stay
-    # near-monotone over sorted queries — `miss` masks out any
-    # false lo-only key equalities inside the clamped run
-    zc = jnp.clip(z, zmin, zmin + zspan - 1)
-    yc = jnp.clip(y, ymin, ymin + yspan - 1)
-    bc = jnp.maximum(b, 0)
-    lin = (bc * zspan + (zc - zmin)) * yspan + (yc - ymin)
-    overflow = (lin < 0) | (lin >= p)
-    idx = jnp.where(pad, p + 1, jnp.where(overflow, p, lin))
-    se = d.se[idx]                                             # (..., 2)
-    start, end = se[..., 0], se[..., 1]
-    miss = ~inbox
+    """Per query key: a `block` row with lower_bound(q) guaranteed in
+    [block, block + W]. Three full-key narrowing levels (broadcast ->
+    fence-window gather -> fence-window gather); exact for ANY input.
+    Each level's window provably contains the next bracket: the fence at
+    every block start IS the previous level's bracketing fence (S1 and
+    S1*FW are multiples of W), so whenever an earlier level counted a
+    fence below q, the next level's first fence is below q too and its
+    window of FW fences spans the whole previous bracket."""
+    w1, fw = DIRECT_W, DIRECT_FW
 
-    # level-2 narrowing: a broadcast compare against the tiny global
-    # fence2 array (FULL keys — it spans prefixes) brackets the lower
-    # bound to a W*FW-row region whenever the run exceeds the level-1
-    # fence window. Zero gathers; statically exact for any run length,
-    # so there is NO data-dependent loop anywhere in the join.
-    s2 = w * fw
-    nf2 = d.fence2.shape[1]
-    if nf2 > 1:                                  # N > s2 only
-        f2hi = d.fence2[0]                                     # (NF2,)
-        f2lo = d.fence2[1]
-        j2 = jnp.arange(nf2, dtype=jnp.int32)
-        f2_0 = (start + s2 - 1) // s2
-        a2 = j2 * s2                             # absolute fence rows
-        active2 = (j2 >= f2_0[..., None]) & (a2 < end[..., None])
-        less2 = active2 & ((f2hi < q_hi[..., None])
-                           | ((f2hi == q_hi[..., None])
-                              & (f2lo < q_lo[..., None])))
-        k2 = jnp.sum(less2.astype(jnp.int32), axis=-1)
-        block2 = jnp.where(k2 == 0, start, (f2_0 + k2 - 1) * s2)
-    else:
-        block2 = start
+    def count_less(fhi, flo):
+        less = (fhi < q_hi[..., None]) | ((fhi == q_hi[..., None])
+                                          & (flo < q_lo[..., None]))
+        return jnp.sum(less.astype(jnp.int32), axis=-1)
 
-    f0 = (block2 + w - 1) // w
-    nf = d.fence_win.shape[0]
-    fwrow = d.fence_win[jnp.minimum(f0, nf - 1)]               # (..., FW)
-    arow = (f0[..., None] + jnp.arange(fw, dtype=jnp.int32)) * w
-    active = arow < end[..., None]
-    # lo-only compare is exact here: active fences lie inside [start, end),
-    # where every row shares the query's (b, z, y) prefix
-    less = active & (fwrow < q_lo[..., None])
-    k = jnp.sum(less.astype(jnp.int32), axis=-1)
-    block = jnp.where(k == 0, block2, (f0 + k - 1) * w)
-    return start, end, block, miss
+    # level 2: broadcast over the global fence array (a handful of keys)
+    k2 = count_less(d.fence2[0], d.fence2[1])
+    b2 = jnp.maximum(k2 - 1, 0)
+    # level 1.5: 32 fences at S1 spacing from the level-2 bracket
+    r15 = jnp.minimum(b2 * fw, d.fence15.shape[0] - 1)
+    row = d.fence15[r15]
+    f15 = r15 + jnp.maximum(count_less(row[..., :fw], row[..., fw:]) - 1, 0)
+    # level 1: 32 fences at W spacing from the level-1.5 bracket
+    r1 = jnp.minimum(f15 * fw, d.fence1.shape[0] - 1)
+    row = d.fence1[r1]
+    k1 = count_less(row[..., :fw], row[..., fw:])
+    return (r1 + jnp.maximum(k1 - 1, 0)) * w1
 
 
-def _direct_resolve(d: DirectIndex, start, end, block, q_lo0,
-                    dxs: Sequence[int], miss=None):
+def _direct_resolve(d: DirectIndex, block, q_hi, q_lo0,
+                    dxs: Sequence[int]):
     """Resolve the taps of one (dy, dz) group from a single winlp window.
 
     `q_lo0` is the group's smallest-x candidate key (lo part); `dxs` the
     static x-offsets of each tap relative to it (multiples of the
-    quantum); `miss` marks lanes whose prefix was out of the table box
-    (their run is a clamped stand-in — compare no keys there).
+    quantum). Hit compares use FULL keys, so absent coordinates --
+    padding, out-of-range probes, coordinates from another (b, z, y)
+    prefix -- miss naturally.
     Returns (res, slots, lb):
       res[t]:   original row index of tap t's hit, or -1  (list of arrays)
-      slots[t]: hit row - lb (int8, in [0, len(dxs))), or -1
-      lb:       lower bound of q_lo0 — the group's window base position.
+      slots[t]: hit row - lb (int8, in [0, WIN)), or -1
+      lb:       lower bound of (q_hi, q_lo0) -- the group's window base.
     """
     win = DIRECT_WIN
     n = d.winlp.shape[0]
-    wrow = d.winlp[jnp.minimum(block, n - 1)]                # (..., 2*WIN)
-    wlo = wrow[..., :win]
-    wpm = wrow[..., win:]
-    jmask = jnp.arange(win, dtype=jnp.int32) < (end - block)[..., None]
-    lb = block + jnp.sum(
-        (jmask & (wlo < q_lo0[..., None])).astype(jnp.int32), axis=-1)
-    if miss is not None:
-        jmask = jmask & ~miss[..., None]
+    wrow = d.winlp[jnp.minimum(block, n - 1)]                # (..., 3*WIN)
+    whi = wrow[..., :win]
+    wlo = wrow[..., win:2 * win]
+    wpm = wrow[..., 2 * win:]
+    valid = (q_hi != INT32_MAX)[..., None]
+    qh = q_hi[..., None]
+    less = valid & ((whi < qh) | ((whi == qh)
+                                  & (wlo < q_lo0[..., None])))
+    lb = block + jnp.sum(less.astype(jnp.int32), axis=-1)
     res, slots = [], []
     for dx in dxs:
-        hit = jmask & (wlo == (q_lo0 + dx)[..., None])
+        hit = valid & (whi == qh) & (wlo == (q_lo0 + dx)[..., None])
         found = jnp.any(hit, axis=-1)
         pm = jnp.max(jnp.where(hit, wpm, -1), axis=-1)
         jpos = jnp.max(jnp.where(
@@ -655,9 +601,8 @@ def _grouped_query_direct(table: "CoordTable", glist, q_hi, q_lo,
     for dxs, gis in clusters.items():
         sel = np.asarray(gis)
         qh, ql = q_hi[sel], q_lo[sel]
-        start, end, block, miss = _direct_locate(d, qh, ql)
-        res, sl, lb = _direct_resolve(d, start, end, block, ql, dxs,
-                                      miss=miss)
+        block = _direct_locate(d, qh, ql)
+        res, sl, lb = _direct_resolve(d, block, qh, ql, dxs)
         if identity_perm:
             # padding queries' bases are never consumed by the XLA apply
             # (slots are -1) but the one-hot Pallas kernel tiles windows
@@ -824,7 +769,10 @@ def grouped_window_query(table: "CoordTable", base_coords: jnp.ndarray,
                 free_gi = gi
                 break
 
-    if table.direct is not None:
+    # winlp coverage: the group window must fit LB-block (<= W) plus the
+    # tap run's row span (gmax - 1 on-lattice rows). Wider kernels fall
+    # back to the exact search path below (same results, more probes).
+    if table.direct is not None and gmax - 1 <= DIRECT_WIN - DIRECT_W - 1:
         return _grouped_query_direct(table, glist, q_hi, q_lo, quantum,
                                      identity_perm, free_gi, k, m)
 
