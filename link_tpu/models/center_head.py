@@ -65,6 +65,10 @@ class CenterHead(nn.Module):
     code_weights: Tuple[float, ...] = (1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 0.2,
                                        0.2, 1.0, 1.0)
     bn_axis: Optional[str] = None
+    # reference center_head.py:221-238: dcn_head=True swaps each task's
+    # SepHead for a DCNSepHead (deformable feature adaption, final_kernel
+    # 3). Off in every published LinK config (BASELINE.md).
+    dcn_head: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False
@@ -77,6 +81,13 @@ class CenterHead(nn.Module):
                          axis_name=self.bn_axis, **HEAD_NORM,
                          name="shared_bn")(h)
         h = jax.nn.relu(h)
+
+        if self.dcn_head:
+            from .dcn import DCNSepHead
+            return [DCNSepHead(heads=self.common_heads,
+                               num_cls=len(classes), bn_axis=self.bn_axis,
+                               name=f"task{t}_dcn")(h, train)
+                    for t, classes in enumerate(self.tasks)]
 
         ret = []
         for t, classes in enumerate(self.tasks):

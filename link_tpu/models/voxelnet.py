@@ -34,6 +34,7 @@ class VoxelNet(nn.Module):
     elk: bool = True
     tasks: Tuple[Tuple[str, ...], ...] = CenterHead.tasks
     bn_axis: Optional[str] = None
+    dcn_head: bool = False
     # forward_two_stage parity (detectors/voxelnet.py:74-92): also return
     # the neck output as the second-stage BEV feature map
     return_bev: bool = False
@@ -50,7 +51,7 @@ class VoxelNet(nn.Module):
                 feats, coords, nnz, self.grid_shape, train)
         x = RPN(bn_axis=self.bn_axis, name="neck")(bev, train)
         preds = CenterHead(tasks=self.tasks, bn_axis=self.bn_axis,
-                           name="bbox_head")(x, train)
+                           dcn_head=self.dcn_head, name="bbox_head")(x, train)
         if self.return_bev:
             return preds, x
         return preds

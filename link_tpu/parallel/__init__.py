@@ -39,8 +39,10 @@ def data_sharded(mesh: Mesh) -> NamedSharding:
 
 def stack_device_batches(batches) -> Dict[str, np.ndarray]:
     """Stack per-device host batches along a new leading device axis (the
-    axis `data_sharded` partitions)."""
-    return {k: np.stack([b[k] for b in batches]) for k in batches[0]}
+    axis `data_sharded` partitions). Tree-mapped so nested batch entries —
+    e.g. detection targets, whose per-task lists have heterogeneous class
+    counts and cannot stack across tasks — stack leaf-wise."""
+    return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *batches)
 
 
 def shard_step(step_fn: Callable, mesh: Mesh, out_state: bool = True):

@@ -57,6 +57,9 @@ def main():
                          "RoI head rescoring/refining the NMS proposals")
     ap.add_argument("--two-stage-checkpoint", default=None,
                     help="orbax/pickle checkpoint for the refinement head")
+    ap.add_argument("--dcn-head", action="store_true",
+                    help="DCNSepHead (deformable feature adaption) instead "
+                         "of SepHead (reference bbox_head.dcn_head)")
     ap.add_argument("--device-nms", action="store_true",
                     help="run rotated NMS on device inside the jitted "
                          "forward (ops/nms.rotate_nms_jax) — nothing "
@@ -111,12 +114,18 @@ def main():
                              double_flip=args.double_flip)
         grid = (1440, 1440, 40)
 
+    # reference configs choose the head via bbox_head.dcn_head
+    # (center_head.py:221-238); --dcn-head forces it for synthetic runs
+    dcn = args.dcn_head
+    if args.config:
+        dcn = dcn or bool(getattr(cfg.model.bbox_head, "dcn_head", False))
+
     n_batch = 4 if args.double_flip else 1
     cap = 163840 * n_batch
     model = VoxelNet(num_input_features=5, batch_size=n_batch,
                      grid_shape=grid,
                      capacities=(cap, cap // 2, cap // 4, cap // 8),
-                     return_bev=args.two_stage)
+                     return_bev=args.two_stage, dcn_head=dcn)
     num_classes = [len(t) for t in model.tasks]
 
     def batch_samples(s):

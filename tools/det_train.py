@@ -81,7 +81,8 @@ def main():
 
     if args.synthetic or not os.path.exists(args.info_path):
         print("using synthetic nuScenes")
-        train_ds = SyntheticNuScenes(length=max(8, ndev * spd), mode="train")
+        train_ds = SyntheticNuScenes(length=max(8, ndev * spd), mode="train",
+                                     max_voxels=args.voxel_capacity)
         grid = (1440, 1440, 40)
     else:
         train_ds = NuScenesDataset(args.info_path, args.root_path,
@@ -89,9 +90,12 @@ def main():
         grid = tuple(args.grid)
 
     cap = args.voxel_capacity * spd
+    dcn = bool(getattr(cfg.model.bbox_head, "dcn_head", False)) \
+        if args.config else False
     model = VoxelNet(num_input_features=5, batch_size=spd, grid_shape=grid,
                      capacities=tuple(
-                         max(1024, cap // f) for f in (1, 2, 4, 8)))
+                         max(1024, cap // f) for f in (1, 2, 4, 8)),
+                     dcn_head=dcn)
 
     total_steps = args.epochs * max(1, len(train_ds) // (ndev * spd))
     lr_fn, mom_fn = schedules.one_cycle(lr_max, total_steps, moms=moms,
