@@ -63,6 +63,8 @@ def test_tselk_block_matches_reference():
     assert err < 2e-4, f"tselk rel err {err}"
 
 
+@pytest.mark.slow          # ~100 s full-model compile (TSELK block parity
+#                            stays in the default profile above)
 @pytest.mark.skipif(not SCANS, reason="no golden files generated")
 def test_elkunet_matches_reference_logits():
     state_path = glob.glob(os.path.join(GOLDEN_DIR, "*_state.npz"))[0]

@@ -24,8 +24,9 @@ def _window_plan(coords_pad, n, offsets):
     return in_idx, base_pos, slot, groups
 
 
-@pytest.mark.parametrize("cap,block_m,window", [(512, 128, 256),
-                                                (1024, 256, 512)])
+@pytest.mark.parametrize("cap,block_m,window", [
+    (512, 128, 256),
+    pytest.param(1024, 256, 512, marks=pytest.mark.slow)])
 def test_onehot_conv_matches_xla(cap, block_m, window):
     rng = np.random.default_rng(33)
     coords, feats = oracles.random_cloud(rng, cap - 40, batch=2, channels=8)

@@ -98,6 +98,7 @@ def tree_paths(tree, prefix=()):
     return out
 
 
+@pytest.mark.slow          # ~90 s: full ELKUNet init just for tree shapes
 def test_translation_matches_flax_tree():
     sd = make_reference_state_dict()
     translated = translate_elkunet(sd)
