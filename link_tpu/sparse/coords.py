@@ -189,8 +189,16 @@ BRACKET_SAMPLE = 32
 # for the same bytes in fewer rows), and (b) its capacity-overflow
 # fallback compared lo-only fences across prefix boundaries — provably
 # inexact (tests/test_direct_index.py reproduces both failure modes).
-DIRECT_W = 12        # rows per level-1 fence block
-DIRECT_WIN = 19      # winlp rows; covers W + max tap-run span 6 (ks7)
+DIRECT_W = 8         # rows per level-1 fence block
+DIRECT_WIN = 11      # winlp rows; covers W + max tap-run span 2 — the
+#                      widest real kernel anywhere in the stack is ks3 /
+#                      r=3 (span 2); wider kernels (ks>=5) take the exact
+#                      search fallback (guard in grouped_window_query).
+#                      A/B vs W=12/WIN=19 (span-6 coverage) measured FLAT
+#                      on the v5e (seg 6.06 vs 6.00 scans/s, det 2.94 vs
+#                      2.97 fps — noise): join cost is per-ROW descriptor
+#                      count, not row bytes. Kept for the 42% smaller
+#                      winlp build/memory (33 vs 57 int32 cols)
 DIRECT_FW = 32       # full-key fences per window row (2 x 32 int32 = 256 B)
 DIRECT_ENABLED = True  # global kill-switch (microbench A/B comparisons)
 
