@@ -49,6 +49,12 @@ def bench_det(jax, jnp):
     ds = SyntheticNuScenes(length=n_frames, mode="val", seed=0,
                            max_voxels=160000)
     batches = [dp.collate_det([ds[i]], cap) for i in range(n_frames)]
+    # dtype stays f32: bf16 measured FLAT here (336.6 vs 334.5 ms device
+    # op time, round 3) — the det forward is descriptor-bound on narrow
+    # 16/32-ch rows (64-128 B, already under the 256 B plateau) and on
+    # int32 join tables, so halving feature bytes buys nothing. The seg
+    # model (64-256 ch) does benefit; VoxelNet(dtype=) exists for parity
+    # with AMP configs, not for speed on this chip.
     model = VoxelNet(num_input_features=5, batch_size=1,
                      grid_shape=(1440, 1440, 40),
                      capacities=(cap, cap // 2, cap // 4, cap // 8))

@@ -27,24 +27,26 @@ class HeadBranch(nn.Module):
     final_kernel: int = 3
     init_bias: Optional[float] = None
     bn_axis: Optional[str] = None
+    dtype: str = "float32"     # compute dtype; params stay f32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        dt = jnp.dtype(self.dtype)
         h = x
         for i in range(self.num_conv - 1):
             h = nn.Conv(self.head_conv,
                         (self.final_kernel, self.final_kernel),
-                        padding=self.final_kernel // 2,
+                        padding=self.final_kernel // 2, dtype=dt,
                         use_bias=True, name=f"conv{i}")(h)
             h = nn.BatchNorm(use_running_average=not train,
                              axis_name=self.bn_axis, **HEAD_NORM,
-                             name=f"bn{i}")(h)
+                             dtype=dt, name=f"bn{i}")(h)
             h = jax.nn.relu(h)
         bias_init = (nn.initializers.constant(self.init_bias)
                      if self.init_bias is not None else nn.initializers.zeros)
         h = nn.Conv(self.out_channels,
                     (self.final_kernel, self.final_kernel),
-                    padding=self.final_kernel // 2, use_bias=True,
+                    padding=self.final_kernel // 2, use_bias=True, dtype=dt,
                     bias_init=bias_init, name="final")(h)
         return h
 
@@ -69,17 +71,19 @@ class CenterHead(nn.Module):
     # SepHead for a DCNSepHead (deformable feature adaption, final_kernel
     # 3). Off in every published LinK config (BASELINE.md).
     dcn_head: bool = False
+    dtype: str = "float32"     # compute dtype; params stay f32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False
                  ) -> List[Dict[str, jnp.ndarray]]:
         """x: (B, C, H, W) -> per-task dicts of NHWC maps."""
-        h = jnp.transpose(x, (0, 2, 3, 1))
+        dt = jnp.dtype(self.dtype)
+        h = jnp.transpose(x, (0, 2, 3, 1)).astype(dt)
         h = nn.Conv(self.share_conv_channel, (3, 3), padding=1,
-                    use_bias=True, name="shared_conv")(h)
+                    use_bias=True, dtype=dt, name="shared_conv")(h)
         h = nn.BatchNorm(use_running_average=not train,
                          axis_name=self.bn_axis, **HEAD_NORM,
-                         name="shared_bn")(h)
+                         dtype=dt, name="shared_bn")(h)
         h = jax.nn.relu(h)
 
         if self.dcn_head:
@@ -94,10 +98,11 @@ class CenterHead(nn.Module):
             out = {}
             for name, (ch, ncv) in self.common_heads:
                 out[name] = HeadBranch(ch, ncv, bn_axis=self.bn_axis,
+                                       dtype=self.dtype,
                                        name=f"task{t}_{name}")(h, train)
             out["hm"] = HeadBranch(len(classes), self.num_hm_conv,
                                    init_bias=self.init_bias,
-                                   bn_axis=self.bn_axis,
+                                   bn_axis=self.bn_axis, dtype=self.dtype,
                                    name=f"task{t}_hm")(h, train)
             ret.append(out)
         return ret
@@ -226,6 +231,11 @@ def decode_boxes(preds: List[Dict], test_cfg: Dict,
     post_range = jnp.asarray(test_cfg["post_center_limit_range"])
     score_thr = test_cfg["score_threshold"]
     class_offset = 0
+    # decode in f32 regardless of the model compute dtype: box centers /
+    # exp(dim) / atan2 need the mantissa (bf16 quantizes 180-cell grid
+    # coordinates to ~1 cell)
+    preds = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.float32), preds)
     for t, pd in enumerate(preds):
         if double_flip:
             pd = double_flip_fuse(pd)

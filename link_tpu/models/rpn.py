@@ -25,20 +25,22 @@ class ConvBNReLU(nn.Module):
     padding: int = 1
     transpose: bool = False
     bn_axis: Optional[str] = None
+    dtype: str = "float32"     # compute dtype; params stay f32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        dt = jnp.dtype(self.dtype)
         if self.transpose:
             y = nn.ConvTranspose(self.features,
                                  (self.kernel, self.kernel),
                                  strides=(self.stride, self.stride),
-                                 use_bias=False)(x)
+                                 dtype=dt, use_bias=False)(x)
         else:
             y = nn.Conv(self.features, (self.kernel, self.kernel),
                         strides=(self.stride, self.stride),
-                        padding=self.padding, use_bias=False)(x)
+                        padding=self.padding, dtype=dt, use_bias=False)(x)
         y = nn.BatchNorm(use_running_average=not train,
-                         axis_name=self.bn_axis, **RPN_NORM)(y)
+                         axis_name=self.bn_axis, dtype=dt, **RPN_NORM)(y)
         return jax.nn.relu(y)
 
 
@@ -50,33 +52,35 @@ class RPN(nn.Module):
     us_num_filters: Sequence[int] = (256, 256)
     num_input_features: int = 256
     bn_axis: Optional[str] = None
+    dtype: str = "float32"     # compute dtype; params stay f32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         """x: (B, C, H, W) BEV -> (B, sum(us_filters), H', W'). Internally
         NHWC for flax convs."""
-        h = jnp.transpose(x, (0, 2, 3, 1))
+        h = jnp.transpose(x, (0, 2, 3, 1)).astype(jnp.dtype(self.dtype))
         ups = []
         start = len(self.layer_nums) - len(self.us_layer_strides)
         for i, n_layers in enumerate(self.layer_nums):
             h = ConvBNReLU(self.ds_num_filters[i], 3,
                            self.ds_layer_strides[i], padding=1,
-                           bn_axis=self.bn_axis,
+                           bn_axis=self.bn_axis, dtype=self.dtype,
                            name=f"block{i}_conv0")(h, train)
             for j in range(n_layers):
                 h = ConvBNReLU(self.ds_num_filters[i], 3, 1, padding=1,
-                               bn_axis=self.bn_axis,
+                               bn_axis=self.bn_axis, dtype=self.dtype,
                                name=f"block{i}_conv{j+1}")(h, train)
             if i - start >= 0:
                 us = self.us_layer_strides[i - start]
                 f = self.us_num_filters[i - start]
                 if us > 1:
                     up = ConvBNReLU(f, us, us, padding=0, transpose=True,
-                                    bn_axis=self.bn_axis,
+                                    bn_axis=self.bn_axis, dtype=self.dtype,
                                     name=f"deblock{i-start}")(h, train)
                 else:
                     s = int(round(1 / us))
                     up = ConvBNReLU(f, s, s, padding=0, bn_axis=self.bn_axis,
+                                    dtype=self.dtype,
                                     name=f"deblock{i-start}")(h, train)
                 ups.append(up)
         out = jnp.concatenate(ups, axis=-1) if ups else h

@@ -91,6 +91,10 @@ class SpMiddleResNetFHDELKv3(nn.Module):
     # collate_det emits voxels in pack-key order (det_pipeline.collate_det);
     # set False only when feeding coords from another source
     coords_sorted: bool = True
+    # compute dtype for the whole sparse path (params stay f32); bf16
+    # halves every feature-row gather's bytes and the MXU time — the
+    # sparse modules follow feats.dtype, same discipline as the seg stack
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, voxel_features: jnp.ndarray, coords: jnp.ndarray,
@@ -102,6 +106,7 @@ class SpMiddleResNetFHDELKv3(nn.Module):
         ax = self.bn_axis
         shape = (input_shape[0], input_shape[1], input_shape[2] + 1)
 
+        voxel_features = voxel_features.astype(jnp.dtype(self.dtype))
         st = make_sparse_tensor(voxel_features, coords, nnz=nnz, stride=1,
                                 base_sorted=self.coords_sorted)
         st = SparseConv3d(self.num_input_features, planes[0], 3,

@@ -35,6 +35,9 @@ class VoxelNet(nn.Module):
     tasks: Tuple[Tuple[str, ...], ...] = CenterHead.tasks
     bn_axis: Optional[str] = None
     dcn_head: bool = False
+    # compute dtype for backbone + neck + head (params and the box decode
+    # stay f32); bf16 halves gather bytes / MXU time on the sparse path
+    dtype: str = "float32"
     # forward_two_stage parity (detectors/voxelnet.py:74-92): also return
     # the neck output as the second-stage BEV feature map
     return_bev: bool = False
@@ -47,11 +50,13 @@ class VoxelNet(nn.Module):
         bev, _ = SpMiddleResNetFHDELKv3(
             num_input_features=self.num_input_features, elk=self.elk,
             capacities=self.capacities, batch_size=self.batch_size,
-            bn_axis=self.bn_axis, name="backbone")(
+            bn_axis=self.bn_axis, dtype=self.dtype, name="backbone")(
                 feats, coords, nnz, self.grid_shape, train)
-        x = RPN(bn_axis=self.bn_axis, name="neck")(bev, train)
+        x = RPN(bn_axis=self.bn_axis, dtype=self.dtype, name="neck")(
+            bev, train)
         preds = CenterHead(tasks=self.tasks, bn_axis=self.bn_axis,
-                           dcn_head=self.dcn_head, name="bbox_head")(x, train)
+                           dcn_head=self.dcn_head, dtype=self.dtype,
+                           name="bbox_head")(x, train)
         if self.return_bev:
             return preds, x
         return preds

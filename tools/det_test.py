@@ -60,6 +60,10 @@ def main():
     ap.add_argument("--dcn-head", action="store_true",
                     help="DCNSepHead (deformable feature adaption) instead "
                          "of SepHead (reference bbox_head.dcn_head)")
+    ap.add_argument("--dtype", default="float32",
+                    choices=("float32", "bfloat16"),
+                    help="model compute dtype (box decode stays f32); "
+                         "bfloat16 halves feature-gather bytes + MXU time")
     ap.add_argument("--device-nms", action="store_true",
                     help="run rotated NMS on device inside the jitted "
                          "forward (ops/nms.rotate_nms_jax) — nothing "
@@ -125,7 +129,8 @@ def main():
     model = VoxelNet(num_input_features=5, batch_size=n_batch,
                      grid_shape=grid,
                      capacities=(cap, cap // 2, cap // 4, cap // 8),
-                     return_bev=args.two_stage, dcn_head=dcn)
+                     return_bev=args.two_stage, dcn_head=dcn,
+                     dtype=args.dtype)
     num_classes = [len(t) for t in model.tasks]
 
     def batch_samples(s):

@@ -143,6 +143,61 @@ def main():
         aggregate(args.trace_dir, args.top)
         return
 
+    if args.det:
+        # det INFERENCE at the real 160k-voxel cap: forward + on-device
+        # decode, traced as ONE unwrapped call so every op keeps its
+        # source attribution (a fori_loop wrapper would bundle the whole
+        # body into a single anonymous `while` op in the trace)
+        from link_tpu.data import det_pipeline as dp
+        from link_tpu.data.nuscenes import SyntheticNuScenes
+        from link_tpu.models.center_head import decode_boxes
+        from link_tpu.models.voxelnet import VoxelNet
+
+        cap = 163840
+        ds = SyntheticNuScenes(length=2, mode="val", seed=0,
+                               max_voxels=160000)
+        batches = [dp.collate_det([ds[i]], cap) for i in range(2)]
+        model = VoxelNet(num_input_features=5, batch_size=1,
+                         grid_shape=(1440, 1440, 40),
+                         capacities=(cap, cap // 2, cap // 4, cap // 8))
+        num_classes = [len(t) for t in model.tasks]
+        b0 = batches[0]
+        variables = jax.jit(model.init, static_argnums=5)(
+            jax.random.PRNGKey(0), jnp.asarray(b0["voxels"]),
+            jnp.asarray(b0["coords"]), jnp.asarray(b0["num_points"]),
+            jnp.asarray(b0["nnz"]), False)
+        test_cfg = dict(
+            post_center_limit_range=[-61.2, -61.2, -10., 61.2, 61.2, 10.],
+            score_threshold=0.1, pc_range=[-54, -54],
+            voxel_size=[0.075, 0.075], out_size_factor=8)
+
+        @jax.jit
+        def det_fwd(seed, variables, voxels, coords, npts, nnz):
+            preds = model.apply(variables, voxels, coords, npts, nnz,
+                                False)
+            outs = decode_boxes(preds, test_cfg, num_classes)
+            return sum(jnp.sum(sc) for _, sc, _, _ in outs) + 1e-9 * seed
+
+        dargs = [[jnp.asarray(b[k]) for b in batches]
+                 for k in ("voxels", "coords", "num_points", "nnz")]
+        t0 = time.perf_counter()
+        float(np.asarray(det_fwd(jnp.float32(0), variables,
+                                 *[a[0] for a in dargs])))
+        print(f"# compile+first: {time.perf_counter() - t0:.1f}s",
+              flush=True)
+        for s in (1, 2):
+            t0 = time.perf_counter()
+            float(np.asarray(det_fwd(jnp.float32(s), variables,
+                                     *[a[s % 2] for a in dargs])))
+            print(f"# steady: {(time.perf_counter() - t0) * 1e3:.1f} "
+                  "ms/frame (host dispatch incl. tunnel)", flush=True)
+        jax.profiler.start_trace(args.trace_dir)
+        float(np.asarray(det_fwd(jnp.float32(3), variables,
+                                 *[a[1] for a in dargs])))
+        jax.profiler.stop_trace()
+        aggregate(args.trace_dir, args.top)
+        return
+
     from link_tpu.data.collate import collate_scans
     from link_tpu.data.semantic_kitti import SyntheticSemanticKITTI
     from link_tpu.models.linkunet import DEFAULT_CAPACITIES, ELKUNet
