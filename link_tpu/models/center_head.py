@@ -272,7 +272,7 @@ def decode_boxes(preds: List[Dict], test_cfg: Dict,
     return out
 
 
-def device_nms(task_outs, test_cfg: Dict, pre_max: int = 512):
+def device_nms(task_outs, test_cfg: Dict, pre_max: Optional[int] = None):
     """On-device rotated NMS over decode_boxes outputs (SURVEY §7.8: the
     reference runs rotated NMS on-GPU, iou3d_nms_kernel.cu; this is the
     TPU equivalent — nothing leaves the device between backbone and
@@ -284,7 +284,12 @@ def device_nms(task_outs, test_cfg: Dict, pre_max: int = 512):
     being the post-NMS keep."""
     from ..ops.nms import rotate_nms_jax
 
-    pre = min(pre_max, int(test_cfg.get("nms_pre_max_size", 1000)))
+    # default to the config's pre-NMS cap (reference nms_pre_max_size,
+    # rotate_nms_pcdet) so this path keeps parity with the host NMS;
+    # pre_max is an optional EXTRA cap for latency-bound serving
+    pre = int(test_cfg.get("nms_pre_max_size", 1000))
+    if pre_max is not None:
+        pre = min(pre_max, pre)
     post = int(test_cfg.get("nms_post_max_size", 83))
     th = float(test_cfg.get("nms_iou_threshold", 0.2))
     out = []

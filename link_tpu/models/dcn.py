@@ -149,10 +149,13 @@ class FeatureAdaption(nn.Module):
         off = nn.Conv(self.deformable_groups * k * 2, (1, 1), use_bias=True,
                       kernel_init=nn.initializers.zeros, dtype=jnp.float32,
                       name="conv_offset")(x)
+        # param stays f32 like every other weight in the stack (optimizer
+        # master copy + checkpoint tree dtype); deform_conv2d casts to the
+        # compute dtype at use
         weight = self.param(
             "deform_weight",
             nn.initializers.variance_scaling(2.0, "fan_in", "normal"),
-            (k, x.shape[-1], self.out_channels), x.dtype)
+            (k, x.shape[-1], self.out_channels), jnp.float32)
         y = deform_conv2d(x, off, weight,
                           kernel_size=self.kernel_size,
                           deformable_groups=self.deformable_groups)

@@ -30,13 +30,17 @@
 #include <vector>
 
 namespace {
-std::vector<int64_t> g_keys;      // hash slots: voxel key, -1 empty
-std::vector<int32_t> g_vals;      // hash slots: voxel id
-std::vector<int64_t> g_vid_key;   // per-vid packed (key, vid)
-std::vector<int32_t> g_vid_coord; // per-vid (z, y, x)
-std::vector<int32_t> g_row_of;    // per-vid output row after sort
-std::vector<int32_t> g_fill;      // per-vid emitted point count
-std::vector<int32_t> g_pt_vid;    // per-point voxel id, -1 dropped
+// thread_local: ctypes releases the GIL for the duration of the call, so
+// a loader worker thread and a serving thread may voxelize concurrently
+// (inference.SingleFramePredictor vs data/loader.py PrefetchLoader).
+// Per-thread scratch keeps the capacity-reuse amortization without locks.
+thread_local std::vector<int64_t> g_keys;      // hash slots: key, -1 empty
+thread_local std::vector<int32_t> g_vals;      // hash slots: voxel id
+thread_local std::vector<int64_t> g_vid_key;   // per-vid packed (key, vid)
+thread_local std::vector<int32_t> g_vid_coord; // per-vid (z, y, x)
+thread_local std::vector<int32_t> g_row_of;    // per-vid row after sort
+thread_local std::vector<int32_t> g_fill;      // per-vid emitted count
+thread_local std::vector<int32_t> g_pt_vid;    // per-point vid, -1 dropped
 }  // namespace
 
 extern "C" int64_t voxelize(

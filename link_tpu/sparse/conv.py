@@ -47,13 +47,21 @@ WINDOWED_APPLY = False
 # a positive int N forces on for rows <= N bytes.
 import os as _os
 WINDOW_FULL_DESC = _os.environ.get("WINDOW_FULL_DESC", "auto")
+if WINDOW_FULL_DESC != "auto":
+    # validate at import: a typo'd value must fail HERE, not as a bare
+    # ValueError from inside a jit trace ~30 conv applies later
+    try:
+        WINDOW_FULL_DESC = int(WINDOW_FULL_DESC)
+    except ValueError as e:
+        raise ValueError(
+            "WINDOW_FULL_DESC must be 'auto', '0' (force off) or a "
+            f"positive byte limit, got {WINDOW_FULL_DESC!r}") from e
 
 
 def _window_pref(prefer_window: bool, row_bytes: int) -> bool:
     if WINDOW_FULL_DESC == "auto":
         return prefer_window
-    n = int(WINDOW_FULL_DESC)
-    return n > 0 and row_bytes <= n
+    return WINDOW_FULL_DESC > 0 and row_bytes <= WINDOW_FULL_DESC
 
 # Route the gather-matmul apply through a custom VJP whose feature
 # backward is itself a gather-form apply (mirrored taps / inverse map)
@@ -187,14 +195,7 @@ def _apply_windowed(feats: jnp.ndarray, weight: jnp.ndarray,
     co = weight.shape[2]
     gfit = window_chunk(g, c, feats.dtype.itemsize)
     featsw = _window_table(feats, gfit)                    # (N, gfit*C)
-
-    def shift_rows(a, d):
-        """Row i -> a[i + d], zero-padded (a plain slice — no gather)."""
-        if d == 0:
-            return a
-        z = jnp.zeros((abs(d), a.shape[1]), a.dtype)
-        return (jnp.concatenate([a[d:], z]) if d > 0
-                else jnp.concatenate([z, a[:d]]))
+    shift_rows = _shift_rows
 
     acc = jnp.zeros((m, co), jnp.float32)
     i_arr = jnp.arange(m, dtype=jnp.int32)

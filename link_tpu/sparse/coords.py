@@ -179,9 +179,11 @@ BRACKET_SAMPLE = 32
 #   2. fence-1 window: 32 full-key fences at W row spacing, bracketing
 #      to W rows                                        (256 B row)
 #   3. key+perm window: WIN consecutive [hi | lo | perm] rows resolving
-#      the lower bound AND every tap of a (dy, dz) group (228 B row)
+#      the lower bound AND every tap of a (dy, dz) group
+#      (3*WIN int32 cols = 132 B row at WIN=11)
 # plus a level-2 broadcast compare against the tiny global fence array
-# (one full key every S1*FW = 12288 rows) that seeds level 1.5 — so the
+# (one full key every S1*FW = W*FW^2 rows — 8192 at W=8, FW=32) that
+# seeds level 1.5 — so the
 # join has NO data-dependent control flow at all. The original round-3
 # formulation used a dense (b, z, y) -> x-run prefix table here; it was
 # replaced because (a) its 6N-row shape sat past the gather engine's
@@ -441,7 +443,6 @@ class DirectIndex:
     (backend/hashmap/hashmap_cuda.cu) with a TPU-shaped O(1) lookup.
     """
 
-    rows: jnp.ndarray
     fence1: jnp.ndarray              # (ceil(N/W), 2*FW): [hi x FW|lo x FW]
     fence15: jnp.ndarray             # (ceil(N/(W*FW)), 2*FW)
     fence2: jnp.ndarray              # (2, ceil(N/(W*FW*FW))): broadcast
@@ -481,7 +482,7 @@ def build_direct_index(rows: jnp.ndarray) -> DirectIndex:
             + [pm_ext[j:j + n] for j in range(win)])
     winlp = jnp.stack(cols, axis=1)                        # (N, 3*WIN)
 
-    return DirectIndex(rows, checkpoint_name(fence1, PLAN_TAG),
+    return DirectIndex(checkpoint_name(fence1, PLAN_TAG),
                        checkpoint_name(fence15, PLAN_TAG),
                        checkpoint_name(fence2, PLAN_TAG), winlp)
 
@@ -572,13 +573,18 @@ def _grouped_query_direct(table: "CoordTable", glist, q_hi, q_lo,
         # key compares along the table — no gathers at all.
         (ox0f, _, _), ftaps = glist[free_gi]
         rows = table.rows
-        hi_r, lo_r = rows[:, 0], rows[:, 1]
+        hi_r, lo_r, pm_r = rows[:, 0], rows[:, 1], rows[:, 2]
         i_arr = jnp.arange(m, dtype=jnp.int32)
         mx = jnp.full((1,), INT32_MAX, jnp.int32)
+        m1 = jnp.full((1,), -1, jnp.int32)
         hi_prev = jnp.concatenate([mx, hi_r[:-1]])
         lo_prev = jnp.concatenate([mx, lo_r[:-1]])
         hi_next = jnp.concatenate([hi_r[1:], mx])
         lo_next = jnp.concatenate([lo_r[1:], mx])
+        # resolved ids go through the perm column like the search path's
+        # keysW window (rows may be a sorted view of unsorted coords)
+        pm_prev = jnp.concatenate([m1, pm_r[:-1]])
+        pm_next = jnp.concatenate([pm_r[1:], m1])
         gvalid = q_hi[free_gi] != INT32_MAX
         hit_prev = gvalid & (hi_prev == hi_r) & (lo_prev == lo_r - quantum)
         hit_next = gvalid & (hi_next == hi_r) & (lo_next == lo_r + quantum)
@@ -587,14 +593,14 @@ def _grouped_query_direct(table: "CoordTable", glist, q_hi, q_lo,
         lb_list[free_gi] = lb
         for ox, t in ftaps:
             if ox == 0:
-                hit, pos = gvalid, i_arr
+                hit, pos, pm = gvalid, i_arr, pm_r
             elif ox == -quantum:
-                hit, pos = hit_prev, i_arr - 1
+                hit, pos, pm = hit_prev, i_arr - 1, pm_prev
             elif ox == quantum:
-                hit, pos = hit_next, i_arr + 1
+                hit, pos, pm = hit_next, i_arr + 1, pm_next
             else:
                 raise AssertionError("self-query group spans one x step")
-            in_idx[t] = jnp.where(hit, pos, -1)
+            in_idx[t] = jnp.where(hit, pm, -1)
             if identity_perm:
                 slot[t] = jnp.where(hit, pos - lb, -1).astype(jnp.int8)
 

@@ -142,7 +142,7 @@ def main():
                 c2 = coords.at[0, 0].add(seed % 1)
                 t = coordlib.build_table(c2, assume_sorted=True,
                                          direct=direct)
-                probe = t.direct.se[::512, 0] if direct \
+                probe = t.direct.winlp[::512, 0] if direct \
                     else t.rows[::512, 2]
                 return jnp.sum(probe).astype(jnp.float32)
             return body
