@@ -11,9 +11,14 @@ Layout conversions:
     with a spatial flip (torch deconv cross-correlates the flipped kernel
     relative to lax.conv_transpose).
 
-NOTE: validated structurally (tests/test_torch_import_det.py); numerical
-validation against a real released checkpoint still pending (no dataset /
-checkpoint in this container) — see PLAN.md.
+Validation: structural (tests/test_torch_import_det.py); numerical —
+the dense half (RPN + CenterHead: conv/deconv transposes incl. the
+ConvTranspose spatial flip, BN eps/momentum, sequential/branch indices)
+against the reference torch modules run on CPU
+(tests/test_golden_det_dense.py over tests/goldens/det_dense.npz), and
+the TSELK block against the torchsparse-u CPU backend
+(tests/test_golden_parity.py). A real released checkpoint end-to-end
+still needs the dataset container (PLAN.md).
 """
 
 from __future__ import annotations
@@ -137,6 +142,29 @@ def translate_voxelnet(sd: Dict[str, np.ndarray],
         spconv_strided_to_engine(sd["backbone.extra_conv.0.weight"]))
     bn1d(params[B], stats[B], ("extra_conv_bn",), "backbone.extra_conv.1")
 
+    _translate_dense_into(sd, params, stats, tasks)
+    return {"params": params, "batch_stats": stats}
+
+
+def translate_dense(sd: Dict[str, np.ndarray],
+                    tasks=(1, 2, 2, 1, 2, 2)) -> Dict[str, Any]:
+    """Neck + head only (keys prefixed `neck.` / `bbox_head.`) — for
+    partial checkpoints and the dense golden-parity test
+    (tests/goldens/det_dense.npz, generated by tools/make_goldens_det.py
+    --dense-only from the reference torch RPN/CenterHead)."""
+    params: Dict[str, Any] = {"neck": {}, "bbox_head": {}}
+    stats: Dict[str, Any] = {"neck": {}, "bbox_head": {}}
+    _translate_dense_into(sd, params, stats, tasks)
+    return {"params": params, "batch_stats": stats}
+
+
+def _translate_dense_into(sd, params, stats, tasks):
+    def put(tree, path, name, value):
+        node = tree
+        for p in path:
+            node = node.setdefault(p, {})
+        node[name] = value
+
     # RPN: blocks 0/1 each: convs at seq idx 1, 4, 7, ... + BN after
     NK = "neck"
     for blk in range(2):
@@ -195,5 +223,3 @@ def translate_voxelnet(sd: Dict[str, np.ndarray],
             put(params, (H,) + path, "final",
                 {"kernel": conv2d_to_flax(sd[base + ".3.weight"]),
                  "bias": sd[base + ".3.bias"]})
-
-    return {"params": params, "batch_stats": stats}

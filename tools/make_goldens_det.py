@@ -25,7 +25,14 @@ def main():
     ap.add_argument("--out", default=os.path.join(REPO, "tests", "goldens"))
     ap.add_argument("--inc", type=int, default=16)
     ap.add_argument("--block-sz", type=int, default=7)
+    ap.add_argument("--dense-only", action="store_true",
+                    help="skip the TSELK golden (needs the torchsparse-u "
+                         "CPU build at --tsu); the dense RPN+CenterHead "
+                         "golden is pure torch")
     args = ap.parse_args()
+    if args.dense_only:
+        make_dense_golden(args)
+        return
 
     sys.path.insert(0, args.tsu)
     sys.path.insert(0, args.reference)
@@ -98,6 +105,175 @@ def main():
         block_sz=args.block_sz, inc=args.inc, **{
             "sd_" + k.replace(".", "__"): v for k, v in sd.items()})
     print(f"TSELK golden: {len(coords)} voxels, out {tuple(out.F.shape)}")
+
+    make_dense_golden(args)
+
+
+def _load_as(dotted: str, path: str):
+    """Load a reference source file under a dotted module name so its
+    relative imports resolve against the stub package tree."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(dotted, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[dotted] = mod
+    spec.loader.exec_module(mod)
+    parent, _, leaf = dotted.rpartition(".")
+    if parent in sys.modules:
+        setattr(sys.modules[parent], leaf, mod)
+    return mod
+
+
+def make_dense_golden(args):
+    """Golden for the DENSE det modules: the reference torch RPN + CenterHead
+    (pure torch, CPU-runnable — unlike the spconv backbone) run on a random
+    BEV map at the published LinK config (rpn.py:22-160,
+    center_head.py:170-294; configs/nusc/voxelnet/..._elkv3.py neck/head
+    dicts). Numerically validates utils/torch_import_det.translate_dense:
+    conv/deconv layout transposes, BN eps/momentum mapping, sequential and
+    branch indices."""
+    import importlib.machinery
+    import torch
+
+    ref = args.reference
+
+    # numba is absent in this container; only its @jit/@njit decorators are
+    # touched at import time in the modules CenterHead pulls in
+    def _jit(*a, **k):
+        if len(a) == 1 and callable(a[0]) and not k:
+            return a[0]
+        return lambda f: f
+    nb = types.ModuleType("numba")
+    nb.__spec__ = importlib.machinery.ModuleSpec("numba", None)
+    nb.jit = nb.njit = _jit
+    sys.modules.setdefault("numba", nb)
+
+    # torchvision stub (rpn.py does `from torchvision.models import resnet`
+    # without using it); no-op under a full main() run that already made it
+    for name in ("torchvision", "torchvision.models"):
+        m = types.ModuleType(name)
+        m.__spec__ = importlib.machinery.ModuleSpec(name, None)
+        m.__path__ = []
+        sys.modules.setdefault(name, m)
+    sys.modules["torchvision"].models = sys.modules["torchvision.models"]
+    if not hasattr(sys.modules["torchvision.models"], "resnet"):
+        sys.modules["torchvision.models"].resnet = types.ModuleType(
+            "torchvision.models.resnet")
+
+    def pkg(name):
+        if name in sys.modules:
+            return sys.modules[name]
+        m = types.ModuleType(name)
+        m.__spec__ = importlib.machinery.ModuleSpec(name, None, is_package=True)
+        m.__path__ = []
+        sys.modules[name] = m
+        parent, _, leaf = name.rpartition(".")
+        if parent:
+            setattr(pkg(parent), leaf, m)
+        return m
+
+    for name in ("det3d", "det3d.utils", "det3d.utils.dist", "det3d.torchie",
+                 "det3d.core", "det3d.core.utils", "det3d.core.bbox",
+                 "det3d.models", "det3d.models.necks",
+                 "det3d.models.bbox_heads", "det3d.models.losses"):
+        pkg(name)
+    sys.modules["det3d.utils.dist"].dist_common = types.ModuleType(
+        "det3d.utils.dist.dist_common")
+    sys.modules["det3d.utils.dist.dist_common"] = \
+        sys.modules["det3d.utils.dist"].dist_common
+    tr = types.ModuleType("det3d.torchie.trainer")
+    tr.load_checkpoint = lambda *a, **k: None
+    sys.modules["det3d.torchie.trainer"] = tr
+    sys.modules["det3d.torchie"].trainer = tr
+
+    _load_as("det3d.torchie.cnn",
+             os.path.join(ref, "det3d/torchie/cnn/weight_init.py"))
+    _load_as("det3d.core.utils.circle_nms_jit",
+             os.path.join(ref, "det3d/core/utils/circle_nms_jit.py"))
+    _load_as("det3d.core.utils.center_utils",
+             os.path.join(ref, "det3d/core/utils/center_utils.py"))
+    _load_as("det3d.core.bbox.geometry",
+             os.path.join(ref, "det3d/core/bbox/geometry.py"))
+    _load_as("det3d.core.bbox.box_np_ops",
+             os.path.join(ref, "det3d/core/bbox/box_np_ops.py"))
+    bto = _load_as("det3d.core.bbox.box_torch_ops",
+                   os.path.join(ref, "det3d/core/bbox/box_torch_ops.py"))
+    sys.modules["det3d.core"].box_torch_ops = bto
+
+    # det3d.models.utils: compose misc.py + norm.py in one namespace (the
+    # real package __init__ also pulls conv_module/scale, unused by RPN)
+    mu = pkg("det3d.models.utils")
+    for fn in ("det3d/models/utils/misc.py", "det3d/models/utils/norm.py"):
+        src = open(os.path.join(ref, fn)).read()
+        exec(compile(src, os.path.join(ref, fn), "exec"), mu.__dict__)
+
+    class _Reg:
+        @staticmethod
+        def register_module(cls):
+            return cls
+    reg = types.ModuleType("det3d.models.registry")
+    reg.NECKS = reg.HEADS = reg.BACKBONES = reg.READERS = _Reg
+    sys.modules["det3d.models.registry"] = reg
+    sys.modules["det3d.models"].registry = reg
+    bld = types.ModuleType("det3d.models.builder")
+    sys.modules["det3d.models.builder"] = bld
+    sys.modules["det3d.models"].builder = bld
+    sys.modules["det3d.models"].utils = mu
+
+    _load_as("det3d.models.losses.centernet_loss",
+             os.path.join(ref, "det3d/models/losses/centernet_loss.py"))
+    rpn_mod = _load_as("det3d.models.necks.rpn",
+                       os.path.join(ref, "det3d/models/necks/rpn.py"))
+    ch_mod = _load_as("det3d.models.bbox_heads.center_head",
+                      os.path.join(ref, "det3d/models/bbox_heads/center_head.py"))
+
+    torch.manual_seed(7)
+    import logging
+    neck = rpn_mod.RPN(layer_nums=[5, 5], ds_layer_strides=[1, 2],
+                       ds_num_filters=[128, 256], us_layer_strides=[1, 2],
+                       us_num_filters=[256, 256], num_input_features=256,
+                       logger=logging.getLogger("rpn"))
+    tasks = [dict(num_class=1, class_names=["car"]),
+             dict(num_class=2, class_names=["truck", "construction_vehicle"]),
+             dict(num_class=2, class_names=["bus", "trailer"]),
+             dict(num_class=1, class_names=["barrier"]),
+             dict(num_class=2, class_names=["motorcycle", "bicycle"]),
+             dict(num_class=2, class_names=["pedestrian", "traffic_cone"])]
+    head = ch_mod.CenterHead(
+        in_channels=512, tasks=tasks, dataset="nuscenes",
+        weight=0.25, code_weights=[1.0] * 10,
+        common_heads=dict(reg=(2, 2), height=(1, 2), dim=(3, 2),
+                          rot=(2, 2), vel=(2, 2)),
+        share_conv_channel=64, dcn_head=False)
+    neck.eval()
+    head.eval()
+
+    # nudge running stats off their (0, 1) init so the BN mapping
+    # (eps/momentum/layout) is actually exercised at eval time
+    with torch.no_grad():
+        for mod in list(neck.modules()) + list(head.modules()):
+            if isinstance(mod, torch.nn.BatchNorm2d):
+                mod.running_mean.uniform_(-0.2, 0.2)
+                mod.running_var.uniform_(0.6, 1.5)
+
+    rng = np.random.default_rng(11)
+    bev = rng.standard_normal((1, 256, 40, 40)).astype(np.float32)
+    with torch.no_grad():
+        rpn_out = neck(torch.from_numpy(bev))
+        preds, _ = head(rpn_out)      # forward returns (ret_dicts, shared)
+
+    sd = {"neck." + k: v.detach().numpy()
+          for k, v in neck.state_dict().items()}
+    sd.update({"bbox_head." + k: v.detach().numpy()
+               for k, v in head.state_dict().items()})
+    arrays = dict(bev=bev, rpn_out=rpn_out.detach().numpy())
+    for t, pd in enumerate(preds):
+        for name, v in pd.items():
+            arrays[f"task{t}_{name}"] = v.detach().numpy()
+    np.savez_compressed(
+        os.path.join(args.out, "det_dense.npz"), **arrays,
+        **{"sd_" + k.replace(".", "__"): v for k, v in sd.items()})
+    print(f"dense golden: rpn_out {tuple(rpn_out.shape)}, "
+          f"{len(preds)} task dicts")
 
 
 if __name__ == "__main__":
