@@ -67,3 +67,29 @@ def test_det_train_step_runs_and_updates():
     leaves = jax.tree_util.tree_leaves(state.params)
     assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
     assert int(state.step) == 3
+
+    # same step over the 8-device CPU mesh (the GSPMD path
+    # tools/det_train.py takes for ndev > 1): per-device host batches
+    # stack leaf-wise (parallel.stack_device_batches tree-maps because
+    # per-task target lists have heterogeneous class counts), and one
+    # sharded step must match single-device training behavior (finite
+    # loss, advancing step)
+    from link_tpu import parallel as par
+
+    mesh = par.make_data_mesh(jax.devices())
+    n_dev = len(jax.devices())
+    per_dev = {k: (v[0] if not isinstance(v, list) else [x[0] for x in v])
+               for k, v in gbatch.items()}
+    mbatch = par.stack_device_batches([per_dev] * n_dev)
+    init_fn_m, step_m = DT.make_det_train_step(model, lr_fn, mom_fn,
+                                               mesh=mesh)
+    state_m = TrainState(step=jnp.int32(0), params=variables["params"],
+                         batch_stats=variables["batch_stats"],
+                         opt_state=init_fn_m(variables["params"]))
+    state_m, metrics_m = step_m(state_m, mbatch)
+    assert np.isfinite(float(metrics_m["loss"]))
+    assert int(state_m.step) == 1
+    # identical replicas => the mesh step's loss equals the single-device
+    # first-step loss
+    np.testing.assert_allclose(float(metrics_m["loss"]), losses[0],
+                               rtol=1e-5)
