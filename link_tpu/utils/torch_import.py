@@ -45,7 +45,54 @@ def translate_elkunet(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     'batch_stats': ..} nested dicts."""
     params: Dict[str, Any] = {}
     stats: Dict[str, Any] = {}
+    res_block, linear = _translate_seg_encoder(sd, params, stats)
 
+    for lvl in range(1, 5):
+        p, s = {}, {}
+        p["SparseConv3d_0"] = {"kernel": sd[f"up{lvl}.0.net.0.kernel"]}
+        p["SparseBatchNorm_0"] = {"scale": sd[f"up{lvl}.0.net.1.weight"],
+                                  "bias": sd[f"up{lvl}.0.net.1.bias"]}
+        s["SparseBatchNorm_0"] = {
+            "mean": sd[f"up{lvl}.0.net.1.running_mean"],
+            "var": sd[f"up{lvl}.0.net.1.running_var"]}
+        params[f"up{lvl}_deconv"] = p
+        stats[f"up{lvl}_deconv"] = s
+        for bi in range(2):
+            p, s = res_block(f"up{lvl}.1.{bi}", f"up{lvl}.1.{bi}")
+            params[f"up{lvl}_res{bi}"] = p
+            stats[f"up{lvl}_res{bi}"] = s
+
+    linear("classifier", "classifier.0")
+
+    # flax alpha shape (1, C) matches torch
+    return {"params": params, "batch_stats": stats}
+
+
+def translate_elkencoder(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Map the reference ELKEncoder state_dict (linkencoder.py:188-330)
+    onto our flax ELKEncoder trees. Same encoder layout as ELKUNet (the
+    reference reuses the module names); the decoder weights the reference
+    still *defines* (up1-up4, unused by its encoder forward) are ignored,
+    and the classifier is the grouped Conv1d pair."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    _translate_seg_encoder(sd, params, stats)
+
+    def grouped(mod_f, prefix_t, g):
+        w = sd[prefix_t + ".weight"][:, :, 0]          # (Co, Ci/g)
+        co, ci = w.shape
+        kern = w.reshape(g, co // g, ci).transpose(0, 2, 1)   # (g, ci, co/g)
+        params[mod_f] = {"kernel": kern,
+                         "bias": sd[prefix_t + ".bias"].reshape(g, co // g)}
+
+    grouped("head0", "classifier.0", 5)
+    grouped("head1", "classifier.2", 1)
+    return {"params": params, "batch_stats": stats}
+
+
+def _translate_seg_encoder(sd, params, stats):
+    """Shared stem + 4-level (down / stage / tail / ELK) encoder mapping —
+    identical module names in linkunet.py and linkencoder.py."""
     def put(tree, module, name, value):
         tree.setdefault(module, {})[name] = value
 
@@ -136,23 +183,4 @@ def translate_elkunet(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
         stats[f"elk{lvl}"] = es
         conv(f"elk{lvl}_tail", f"elk{lvl}_tail.0.kernel")
         bn(f"elk{lvl}_tail_bn", f"elk{lvl}_tail.1")
-
-    for lvl in range(1, 5):
-        p, s = {}, {}
-        p["SparseConv3d_0"] = {"kernel": sd[f"up{lvl}.0.net.0.kernel"]}
-        p["SparseBatchNorm_0"] = {"scale": sd[f"up{lvl}.0.net.1.weight"],
-                                  "bias": sd[f"up{lvl}.0.net.1.bias"]}
-        s["SparseBatchNorm_0"] = {
-            "mean": sd[f"up{lvl}.0.net.1.running_mean"],
-            "var": sd[f"up{lvl}.0.net.1.running_var"]}
-        params[f"up{lvl}_deconv"] = p
-        stats[f"up{lvl}_deconv"] = s
-        for bi in range(2):
-            p, s = res_block(f"up{lvl}.1.{bi}", f"up{lvl}.1.{bi}")
-            params[f"up{lvl}_res{bi}"] = p
-            stats[f"up{lvl}_res{bi}"] = s
-
-    linear("classifier", "classifier.0")
-
-    # flax alpha shape (1, C) matches torch
-    return {"params": params, "batch_stats": stats}
+    return res_block, linear

@@ -63,6 +63,42 @@ def test_tselk_block_matches_reference():
     assert err < 2e-4, f"tselk rel err {err}"
 
 
+ENCODER = os.path.join(GOLDEN_DIR, "elkencoder_cr0.25.npz")
+
+
+@pytest.mark.slow          # full-model compile
+@pytest.mark.skipif(not os.path.exists(ENCODER),
+                    reason="no encoder golden generated")
+def test_elkencoder_matches_reference_logits():
+    """Second seg model family end-to-end: the encoder-only LinK at the
+    published cos:(3x5)^3 groups=2 config (README Model Zoo row 4) —
+    numerically pins upsample_voxel's nearest-ancestor broadcast, the
+    grouped Conv1d classifier mapping, and the cos-basis ELK at r=3."""
+    from link_tpu.models.linkencoder import ELKEncoder
+    from link_tpu.utils.torch_import import translate_elkencoder
+
+    g = np.load(ENCODER)
+    coords, feats, want = g["coords"], g["feats"], g["logits"]
+    sd = {k[3:].replace("__", "."): g[k] for k in g.files
+          if k.startswith("sd_")}
+    translated = translate_elkencoder(sd)
+
+    caps = (1024, 512, 256, 128, 64)
+    model = ELKEncoder(num_classes=20, cr=float(g["cr"]), groups=2,
+                       baseop="cos", r=3, s=5, capacities=caps)
+    n, cap = len(coords), caps[0]
+    cpad = np.full((cap, 4), -(2 ** 20), np.int32)
+    fpad = np.zeros((cap, 4), np.float32)
+    cpad[:n], fpad[:n] = coords, feats
+    st = make_sparse_tensor(fpad, cpad, nnz=n)
+    got = model.apply({"params": translated["params"],
+                       "batch_stats": translated["batch_stats"]},
+                      st, False)
+    got = np.asarray(got)[:n]
+    err = np.max(np.abs(got - want)) / (np.max(np.abs(want)) + 1e-9)
+    assert err < 2e-4, f"encoder rel err {err}"
+
+
 @pytest.mark.slow          # ~100 s full-model compile (TSELK block parity
 #                            stays in the default profile above)
 @pytest.mark.skipif(not SCANS, reason="no golden files generated")

@@ -78,6 +78,46 @@ def main():
         os.path.join(args.out, f"elkunet_cr{args.cr}_state.npz"), **sd)
     print(f"state dict: {len(sd)} tensors -> {args.out}")
 
+    # ELKEncoder at the published encoder-only config "cos:(3x5)^3"
+    # (README.md Model Zoo row 4; linkencoder.py:188-330, groups=2).
+    # r=3 hits the reference CPU bug devoxelize_cpu.cpp hardcoding 8
+    # neighbors (the "-u" fork r-generalized only the CUDA kernel), which
+    # yields NaN — substitute the same pure-torch transcription of the
+    # CUDA kernel's semantics that make_goldens_det.py uses.
+    import core.models.utils as ref_utils
+
+    def spdevoxelize(feat, indices, weight, r=2):
+        safe = indices.clamp(min=0).long()
+        gathered = feat[safe]                       # (N, K, C)
+        w = torch.where(indices >= 0, weight,
+                        torch.zeros_like(weight)).unsqueeze(-1)
+        return (gathered * w).sum(dim=1)
+
+    ref_utils.F.spdevoxelize = spdevoxelize
+
+    from core.models.semantic_kitti.linkencoder import (
+        ELKEncoder as TorchELKEncoder)
+    torch.manual_seed(3)
+    enc = TorchELKEncoder(num_classes=20, cr=args.cr, groups=2,
+                          baseop="cos", r=3, s=5)
+    enc.eval()
+    coords = np.unique(rng.integers(0, 24, (args.n_points, 3))
+                       .astype(np.int32), axis=0)
+    coords = np.concatenate(
+        [coords, np.zeros((len(coords), 1), np.int32)], axis=1)
+    feats = rng.standard_normal((len(coords), 4)).astype(np.float32)
+    st = TorchSparseTensor(torch.from_numpy(feats), torch.from_numpy(coords))
+    with torch.no_grad():
+        out = enc(st)
+    sd = {k: v.detach().numpy() for k, v in enc.state_dict().items()}
+    np.savez_compressed(
+        os.path.join(args.out, f"elkencoder_cr{args.cr}.npz"),
+        coords=coords, feats=feats, logits=out.detach().numpy(),
+        cr=args.cr, **{"sd_" + k.replace(".", "__"): v
+                       for k, v in sd.items()})
+    print(f"encoder golden: {len(coords)} voxels, "
+          f"logits {tuple(out.shape)}")
+
 
 if __name__ == "__main__":
     main()
