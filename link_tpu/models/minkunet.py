@@ -1,6 +1,9 @@
 """MinkUNet baseline (reference: segmentation/core/models/semantic_kitti/
-minkunet.py:91-254): plain sparse UNet, channel plan
-cs = [32, 32, 64, 128, 256, 256, 128, 96, 96] * cr, no ELK branch."""
+minkunet.py:91-254): plain sparse UNet, no ELK branch. The reference's
+ACTUAL channel plan is cs = [64]*9 * cr (minkunet.py:98 — the stock
+SPVNAS [32, 32, 64, 128, 256, 256, 128, 96, 96] list is commented out
+there), so that is the default here; pass `channels` for the stock
+variant."""
 
 from __future__ import annotations
 
@@ -28,6 +31,7 @@ def _plan_policy():
 class MinkUNet(nn.Module):
     num_classes: int
     cr: float = 1.0
+    channels: Tuple[int, ...] = (64,) * 9   # reference minkunet.py:98
     in_channels: int = 4
     capacities: Tuple[int, ...] = DEFAULT_CAPACITIES
     bn_axis: Optional[str] = None
@@ -43,7 +47,7 @@ class MinkUNet(nn.Module):
             _Down = nn.remat(BasicConvolutionBlock, static_argnums=(2,), policy=_plan_policy())
         else:
             _Res, _Down = ResidualBlock, BasicConvolutionBlock
-        cs = [int(self.cr * c) for c in [32, 32, 64, 128, 256, 256, 128, 96, 96]]
+        cs = [int(self.cr * c) for c in self.channels]
         caps = self.capacities
         ax = self.bn_axis
 

@@ -184,3 +184,103 @@ def _translate_seg_encoder(sd, params, stats):
         conv(f"elk{lvl}_tail", f"elk{lvl}_tail.0.kernel")
         bn(f"elk{lvl}_tail_bn", f"elk{lvl}_tail.1")
     return res_block, linear
+
+
+def _res_block_sd(sd, prefix):
+    """ResidualBlock mapping (net.0 conv, net.1 bn, net.3 conv, net.4 bn,
+    optional downsample.{0,1}) -> our ResidualBlock submodule names."""
+    p = {"SparseConv3d_0": {"kernel": sd[f"{prefix}.net.0.kernel"]},
+         "SparseBatchNorm_0": {"scale": sd[f"{prefix}.net.1.weight"],
+                               "bias": sd[f"{prefix}.net.1.bias"]},
+         "SparseConv3d_1": {"kernel": sd[f"{prefix}.net.3.kernel"]},
+         "SparseBatchNorm_1": {"scale": sd[f"{prefix}.net.4.weight"],
+                               "bias": sd[f"{prefix}.net.4.bias"]}}
+    s = {"SparseBatchNorm_0": {"mean": sd[f"{prefix}.net.1.running_mean"],
+                               "var": sd[f"{prefix}.net.1.running_var"]},
+         "SparseBatchNorm_1": {"mean": sd[f"{prefix}.net.4.running_mean"],
+                               "var": sd[f"{prefix}.net.4.running_var"]}}
+    if f"{prefix}.downsample.0.kernel" in sd:
+        p["SparseConv3d_2"] = {"kernel": sd[f"{prefix}.downsample.0.kernel"]}
+        p["SparseBatchNorm_2"] = {
+            "scale": sd[f"{prefix}.downsample.1.weight"],
+            "bias": sd[f"{prefix}.downsample.1.bias"]}
+        s["SparseBatchNorm_2"] = {
+            "mean": sd[f"{prefix}.downsample.1.running_mean"],
+            "var": sd[f"{prefix}.downsample.1.running_var"]}
+    return p, s
+
+
+def _conv_bn_block_sd(sd, prefix):
+    """Basic(De)ConvolutionBlock mapping (net.0 conv, net.1 bn)."""
+    p = {"SparseConv3d_0": {"kernel": sd[f"{prefix}.net.0.kernel"]},
+         "SparseBatchNorm_0": {"scale": sd[f"{prefix}.net.1.weight"],
+                               "bias": sd[f"{prefix}.net.1.bias"]}}
+    s = {"SparseBatchNorm_0": {"mean": sd[f"{prefix}.net.1.running_mean"],
+                               "var": sd[f"{prefix}.net.1.running_var"]}}
+    return p, s
+
+
+def _stem_sd(sd, params, stats):
+    params["stem0"] = {"kernel": sd["stem.0.kernel"]}
+    params["stem0_bn"] = {"scale": sd["stem.1.weight"],
+                          "bias": sd["stem.1.bias"]}
+    stats["stem0_bn"] = {"mean": sd["stem.1.running_mean"],
+                         "var": sd["stem.1.running_var"]}
+    params["stem1"] = {"kernel": sd["stem.3.kernel"]}
+    params["stem1_bn"] = {"scale": sd["stem.4.weight"],
+                          "bias": sd["stem.4.bias"]}
+    stats["stem1_bn"] = {"mean": sd["stem.4.running_mean"],
+                         "var": sd["stem.4.running_var"]}
+
+
+def _unet_body_sd(sd, params, stats):
+    """Shared MinkUNet/SPVCNN body: stage{l} = Sequential(down, res, res)
+    (minkunet.py:109-131, spvcnn.py:103-125) and up{l} = [deconv,
+    Sequential(res, res)]."""
+    _stem_sd(sd, params, stats)
+    for lvl in range(1, 5):
+        params[f"down{lvl}"], stats[f"down{lvl}"] = _conv_bn_block_sd(
+            sd, f"stage{lvl}.0")
+        for bi in range(2):
+            p, s = _res_block_sd(sd, f"stage{lvl}.{bi + 1}")
+            params[f"stage{lvl}_{bi}"] = p
+            stats[f"stage{lvl}_{bi}"] = s
+    for lvl in range(1, 5):
+        params[f"up{lvl}_deconv"], stats[f"up{lvl}_deconv"] = \
+            _conv_bn_block_sd(sd, f"up{lvl}.0")
+        for bi in range(2):
+            p, s = _res_block_sd(sd, f"up{lvl}.1.{bi}")
+            params[f"up{lvl}_res{bi}"] = p
+            stats[f"up{lvl}_res{bi}"] = s
+
+
+def translate_minkunet(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Reference MinkUNet (minkunet.py:91-254) -> our flax MinkUNet. The
+    unused point_transforms weights the reference defines are ignored."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    _unet_body_sd(sd, params, stats)
+    params["classifier"] = {"kernel": sd["classifier.0.weight"].T,
+                            "bias": sd["classifier.0.bias"]}
+    return {"params": params, "batch_stats": stats}
+
+
+def translate_spvcnn(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Reference SPVCNN (spvcnn.py:82-235) -> our flax SPVCNN: the UNet
+    body plus the three point-transform MLPs (Linear + BatchNorm1d)."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    _unet_body_sd(sd, params, stats)
+    for i in range(3):
+        pre = f"point_transforms.{i}"
+        params[f"pt{i}"] = {
+            "Linear_0": {"kernel": sd[f"{pre}.0.weight"].T,
+                         "bias": sd[f"{pre}.0.bias"]},
+            "SparseBatchNorm_0": {"scale": sd[f"{pre}.1.weight"],
+                                  "bias": sd[f"{pre}.1.bias"]}}
+        stats[f"pt{i}"] = {
+            "SparseBatchNorm_0": {"mean": sd[f"{pre}.1.running_mean"],
+                                  "var": sd[f"{pre}.1.running_var"]}}
+    params["classifier"] = {"kernel": sd["classifier.0.weight"].T,
+                            "bias": sd["classifier.0.bias"]}
+    return {"params": params, "batch_stats": stats}

@@ -99,6 +99,70 @@ def test_elkencoder_matches_reference_logits():
     assert err < 2e-4, f"encoder rel err {err}"
 
 
+MINK = os.path.join(GOLDEN_DIR, "minkunet_cr0.25.npz")
+SPV = os.path.join(GOLDEN_DIR, "spvcnn_cr0.25.npz")
+
+
+def _pad_cloud(coords, feats, cap):
+    n = len(coords)
+    cpad = np.full((cap, 4), -(2 ** 20), np.int32)
+    fpad = np.zeros((cap, feats.shape[1]), np.float32)
+    cpad[:n], fpad[:n] = coords, feats
+    return make_sparse_tensor(fpad, cpad, nnz=n), n
+
+
+@pytest.mark.slow          # full-model compile
+@pytest.mark.skipif(not os.path.exists(MINK),
+                    reason="no minkunet golden generated")
+def test_minkunet_matches_reference_logits():
+    """Baseline family 1: plain sparse UNet at the reference's ACTUAL
+    channel plan cs=[64]*9 (minkunet.py:98)."""
+    from link_tpu.models.minkunet import MinkUNet
+    from link_tpu.utils.torch_import import translate_minkunet
+
+    g = np.load(MINK)
+    sd = {k[3:].replace("__", "."): g[k] for k in g.files
+          if k.startswith("sd_")}
+    tr = translate_minkunet(sd)
+    caps = (1024, 512, 256, 128, 64)
+    model = MinkUNet(num_classes=20, cr=float(g["cr"]), capacities=caps)
+    st, n = _pad_cloud(g["coords"], g["feats"], caps[0])
+    got = np.asarray(model.apply(
+        {"params": tr["params"], "batch_stats": tr["batch_stats"]},
+        st, False))[:n]
+    want = g["logits"]
+    err = np.max(np.abs(got - want)) / (np.max(np.abs(want)) + 1e-9)
+    assert err < 2e-4, f"minkunet rel err {err}"
+
+
+@pytest.mark.slow          # full-model compile
+@pytest.mark.skipif(not os.path.exists(SPV),
+                    reason="no spvcnn golden generated")
+def test_spvcnn_matches_reference_logits():
+    """Baseline family 2: point-voxel UNet — numerically pins
+    initial_voxelize / voxel_to_point (trilinear) / point_to_voxel and
+    the point-transform MLPs against the reference (spvcnn.py:189-233)."""
+    from link_tpu.models.spvcnn import SPVCNN
+    from link_tpu.utils.torch_import import translate_spvcnn
+
+    g = np.load(SPV)
+    sd = {k[3:].replace("__", "."): g[k] for k in g.files
+          if k.startswith("sd_")}
+    tr = translate_spvcnn(sd)
+    # level-1 cap 640: this golden cloud has 514 distinct stride-2 cells
+    # (a 512 cap silently drops 2 voxels => 2 mismatched rows)
+    caps = (1024, 640, 256, 128, 64)
+    model = SPVCNN(num_classes=20, cr=float(g["cr"]), capacities=caps,
+                   pres=1.0, vres=1.0)
+    st, n = _pad_cloud(g["coords"], g["feats"], caps[0])
+    got = np.asarray(model.apply(
+        {"params": tr["params"], "batch_stats": tr["batch_stats"]},
+        st, False))[:n]
+    want = g["logits"]
+    err = np.max(np.abs(got - want)) / (np.max(np.abs(want)) + 1e-9)
+    assert err < 2e-4, f"spvcnn rel err {err}"
+
+
 @pytest.mark.slow          # ~100 s full-model compile (TSELK block parity
 #                            stays in the default profile above)
 @pytest.mark.skipif(not SCANS, reason="no golden files generated")

@@ -118,6 +118,38 @@ def main():
     print(f"encoder golden: {len(coords)} voxels, "
           f"logits {tuple(out.shape)}")
 
+    # baseline families: MinkUNet (minkunet.py:91-254; NOTE the reference's
+    # actual channel plan is cs=[64]*9, minkunet.py:98) and SPVCNN
+    # (spvcnn.py:82-235 — pins initial_voxelize / voxel_to_point /
+    # point_to_voxel numerics; pres=vres=1 over already-quantized coords,
+    # matching the dataset path's semantics)
+    from core.models.semantic_kitti.minkunet import MinkUNet as TorchMinkUNet
+    from core.models.semantic_kitti.spvcnn import SPVCNN as TorchSPVCNN
+
+    for tag, ctor, kw in (
+            ("minkunet", TorchMinkUNet, {}),
+            ("spvcnn", TorchSPVCNN, dict(pres=1.0, vres=1.0))):
+        torch.manual_seed(5)
+        m = ctor(num_classes=20, cr=args.cr, **kw)
+        m.eval()
+        coords = np.unique(rng.integers(0, 24, (args.n_points, 3))
+                           .astype(np.int32), axis=0)
+        coords = np.concatenate(
+            [coords, np.zeros((len(coords), 1), np.int32)], axis=1)
+        feats = rng.standard_normal((len(coords), 4)).astype(np.float32)
+        st = TorchSparseTensor(torch.from_numpy(feats),
+                               torch.from_numpy(coords))
+        with torch.no_grad():
+            out = m(st)
+        sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+        np.savez_compressed(
+            os.path.join(args.out, f"{tag}_cr{args.cr}.npz"),
+            coords=coords, feats=feats, logits=out.detach().numpy(),
+            cr=args.cr, **{"sd_" + k.replace(".", "__"): v
+                           for k, v in sd.items()})
+        print(f"{tag} golden: {len(coords)} voxels, "
+              f"logits {tuple(out.shape)}")
+
 
 if __name__ == "__main__":
     main()
