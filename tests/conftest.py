@@ -21,9 +21,9 @@ def pytest_addoption(parser):
     parser.addoption(
         "--runslow", action="store_true", default=False,
         help="also run full-model-compile tests (adds ~35 min of CPU "
-             "wall time; the fast default profile finishes in ~11 min — "
+             "wall time; the fast default profile finishes in ~10 min — "
              "measured round 3 after slow-marking the 3-minute-class "
-             "full-model tests: 131 passed / 33 skipped in 11:09)")
+             "full-model tests: 135 passed / 36 skipped in 9:58)")
 
 
 def pytest_configure(config):
