@@ -60,8 +60,14 @@ def make_model(cfg, bn_axis: Optional[str] = None,
                           groups=m.groups, baseop=m.base_op, capacities=caps,
                           bn_axis=bn_axis, remat=remat, dtype=dtype)
     if name == "minkunet":
+        # default (64,)*9 matches the reference's actual plan
+        # (minkunet.py:98); model.channels in the YAML selects the stock
+        # SPVNAS [32, 32, 64, 128, ...] variant
+        kw = {}
+        if "channels" in m:
+            kw["channels"] = tuple(int(c) for c in m.channels)
         return MinkUNet(num_classes=num_classes, cr=cr, capacities=caps,
-                        bn_axis=bn_axis, remat=remat, dtype=dtype)
+                        bn_axis=bn_axis, remat=remat, dtype=dtype, **kw)
     if name == "spvcnn":
         return SPVCNN(num_classes=num_classes, cr=cr,
                       pres=cfg.dataset.voxel_size, vres=cfg.dataset.voxel_size,

@@ -195,7 +195,6 @@ def _apply_windowed(feats: jnp.ndarray, weight: jnp.ndarray,
     co = weight.shape[2]
     gfit = window_chunk(g, c, feats.dtype.itemsize)
     featsw = _window_table(feats, gfit)                    # (N, gfit*C)
-    shift_rows = _shift_rows
 
     acc = jnp.zeros((m, co), jnp.float32)
     i_arr = jnp.arange(m, dtype=jnp.int32)
@@ -207,8 +206,8 @@ def _apply_windowed(feats: jnp.ndarray, weight: jnp.ndarray,
                 # base is provably i or i-1 (self-query): the window is a
                 # select of two shifted slices — no gather descriptors
                 wins.append(jnp.where((base == i_arr - 1)[:, None],
-                                      shift_rows(featsw, c0 - 1),
-                                      shift_rows(featsw, c0)))
+                                      _shift_rows(featsw, c0 - 1),
+                                      _shift_rows(featsw, c0)))
             else:
                 wins.append(featsw[base + c0])             # one row gather
         for t in tap_ids:

@@ -45,20 +45,13 @@ def translate_elkunet(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     'batch_stats': ..} nested dicts."""
     params: Dict[str, Any] = {}
     stats: Dict[str, Any] = {}
-    res_block, linear = _translate_seg_encoder(sd, params, stats)
+    _, linear = _translate_seg_encoder(sd, params, stats)
 
     for lvl in range(1, 5):
-        p, s = {}, {}
-        p["SparseConv3d_0"] = {"kernel": sd[f"up{lvl}.0.net.0.kernel"]}
-        p["SparseBatchNorm_0"] = {"scale": sd[f"up{lvl}.0.net.1.weight"],
-                                  "bias": sd[f"up{lvl}.0.net.1.bias"]}
-        s["SparseBatchNorm_0"] = {
-            "mean": sd[f"up{lvl}.0.net.1.running_mean"],
-            "var": sd[f"up{lvl}.0.net.1.running_var"]}
-        params[f"up{lvl}_deconv"] = p
-        stats[f"up{lvl}_deconv"] = s
+        params[f"up{lvl}_deconv"], stats[f"up{lvl}_deconv"] = \
+            _conv_bn_block_sd(sd, f"up{lvl}.0")
         for bi in range(2):
-            p, s = res_block(f"up{lvl}.1.{bi}", f"up{lvl}.1.{bi}")
+            p, s = _res_block_sd(sd, f"up{lvl}.1.{bi}")
             params[f"up{lvl}_res{bi}"] = p
             stats[f"up{lvl}_res{bi}"] = s
 
@@ -114,49 +107,15 @@ def _translate_seg_encoder(sd, params, stats):
         put(params, mod_f, "scale", sd[prefix_t + ".weight"])
         put(params, mod_f, "bias", sd[prefix_t + ".bias"])
 
-    # stem: stem.0 conv, stem.1 bn, stem.3 conv, stem.4 bn
-    conv("stem0", "stem.0.kernel")
-    bn("stem0_bn", "stem.1")
-    conv("stem1", "stem.3.kernel")
-    bn("stem1_bn", "stem.4")
+    _stem_sd(sd, params, stats)
 
     def res_block(mod_f, prefix_t):
-        sub = {}
-        subs = {}
-        sub["SparseConv3d_0"] = {"kernel": sd[f"{prefix_t}.net.0.kernel"]}
-        sub["SparseBatchNorm_0"] = {"scale": sd[f"{prefix_t}.net.1.weight"],
-                                    "bias": sd[f"{prefix_t}.net.1.bias"]}
-        subs["SparseBatchNorm_0"] = {
-            "mean": sd[f"{prefix_t}.net.1.running_mean"],
-            "var": sd[f"{prefix_t}.net.1.running_var"]}
-        sub["SparseConv3d_1"] = {"kernel": sd[f"{prefix_t}.net.3.kernel"]}
-        sub["SparseBatchNorm_1"] = {"scale": sd[f"{prefix_t}.net.4.weight"],
-                                    "bias": sd[f"{prefix_t}.net.4.bias"]}
-        subs["SparseBatchNorm_1"] = {
-            "mean": sd[f"{prefix_t}.net.4.running_mean"],
-            "var": sd[f"{prefix_t}.net.4.running_var"]}
-        if f"{prefix_t}.downsample.0.kernel" in sd:
-            sub["SparseConv3d_2"] = {
-                "kernel": sd[f"{prefix_t}.downsample.0.kernel"]}
-            sub["SparseBatchNorm_2"] = {
-                "scale": sd[f"{prefix_t}.downsample.1.weight"],
-                "bias": sd[f"{prefix_t}.downsample.1.bias"]}
-            subs["SparseBatchNorm_2"] = {
-                "mean": sd[f"{prefix_t}.downsample.1.running_mean"],
-                "var": sd[f"{prefix_t}.downsample.1.running_var"]}
-        return sub, subs
+        return _res_block_sd(sd, prefix_t)
 
     for lvl in range(1, 5):
         # down block: Sequential(BasicConvolutionBlock) -> net.0 conv net.1 bn
-        p, s = {}, {}
-        p["SparseConv3d_0"] = {"kernel": sd[f"down{lvl}.0.net.0.kernel"]}
-        p["SparseBatchNorm_0"] = {"scale": sd[f"down{lvl}.0.net.1.weight"],
-                                  "bias": sd[f"down{lvl}.0.net.1.bias"]}
-        s["SparseBatchNorm_0"] = {
-            "mean": sd[f"down{lvl}.0.net.1.running_mean"],
-            "var": sd[f"down{lvl}.0.net.1.running_var"]}
-        params[f"down{lvl}"] = p
-        stats[f"down{lvl}"] = s
+        params[f"down{lvl}"], stats[f"down{lvl}"] = _conv_bn_block_sd(
+            sd, f"down{lvl}.0")
 
         for bi in range(2):
             p, s = res_block(f"stage{lvl}.{bi}", f"stage{lvl}.{bi}")

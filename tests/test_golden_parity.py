@@ -64,6 +64,21 @@ def test_tselk_block_matches_reference():
 
 
 ENCODER = os.path.join(GOLDEN_DIR, "elkencoder_cr0.25.npz")
+MINK = os.path.join(GOLDEN_DIR, "minkunet_cr0.25.npz")
+SPV = os.path.join(GOLDEN_DIR, "spvcnn_cr0.25.npz")
+
+# level-1 cap 640 everywhere: these ~590-voxel clouds hit ~500-515
+# distinct stride-2 cells, and a 512 cap SILENTLY drops voxels (the
+# SPVCNN golden measured 514 -> 2 mismatched rows before the bump)
+GOLDEN_CAPS = (1024, 640, 256, 128, 64)
+
+
+def _pad_cloud(coords, feats, cap):
+    n = len(coords)
+    cpad = np.full((cap, 4), -(2 ** 20), np.int32)
+    fpad = np.zeros((cap, feats.shape[1]), np.float32)
+    cpad[:n], fpad[:n] = coords, feats
+    return make_sparse_tensor(fpad, cpad, nnz=n), n
 
 
 @pytest.mark.slow          # full-model compile
@@ -83,32 +98,15 @@ def test_elkencoder_matches_reference_logits():
           if k.startswith("sd_")}
     translated = translate_elkencoder(sd)
 
-    caps = (1024, 512, 256, 128, 64)
     model = ELKEncoder(num_classes=20, cr=float(g["cr"]), groups=2,
-                       baseop="cos", r=3, s=5, capacities=caps)
-    n, cap = len(coords), caps[0]
-    cpad = np.full((cap, 4), -(2 ** 20), np.int32)
-    fpad = np.zeros((cap, 4), np.float32)
-    cpad[:n], fpad[:n] = coords, feats
-    st = make_sparse_tensor(fpad, cpad, nnz=n)
+                       baseop="cos", r=3, s=5, capacities=GOLDEN_CAPS)
+    st, n = _pad_cloud(coords, feats, GOLDEN_CAPS[0])
     got = model.apply({"params": translated["params"],
                        "batch_stats": translated["batch_stats"]},
                       st, False)
     got = np.asarray(got)[:n]
     err = np.max(np.abs(got - want)) / (np.max(np.abs(want)) + 1e-9)
     assert err < 2e-4, f"encoder rel err {err}"
-
-
-MINK = os.path.join(GOLDEN_DIR, "minkunet_cr0.25.npz")
-SPV = os.path.join(GOLDEN_DIR, "spvcnn_cr0.25.npz")
-
-
-def _pad_cloud(coords, feats, cap):
-    n = len(coords)
-    cpad = np.full((cap, 4), -(2 ** 20), np.int32)
-    fpad = np.zeros((cap, feats.shape[1]), np.float32)
-    cpad[:n], fpad[:n] = coords, feats
-    return make_sparse_tensor(fpad, cpad, nnz=n), n
 
 
 @pytest.mark.slow          # full-model compile
@@ -124,9 +122,9 @@ def test_minkunet_matches_reference_logits():
     sd = {k[3:].replace("__", "."): g[k] for k in g.files
           if k.startswith("sd_")}
     tr = translate_minkunet(sd)
-    caps = (1024, 512, 256, 128, 64)
-    model = MinkUNet(num_classes=20, cr=float(g["cr"]), capacities=caps)
-    st, n = _pad_cloud(g["coords"], g["feats"], caps[0])
+    model = MinkUNet(num_classes=20, cr=float(g["cr"]),
+                     capacities=GOLDEN_CAPS)
+    st, n = _pad_cloud(g["coords"], g["feats"], GOLDEN_CAPS[0])
     got = np.asarray(model.apply(
         {"params": tr["params"], "batch_stats": tr["batch_stats"]},
         st, False))[:n]
@@ -149,12 +147,9 @@ def test_spvcnn_matches_reference_logits():
     sd = {k[3:].replace("__", "."): g[k] for k in g.files
           if k.startswith("sd_")}
     tr = translate_spvcnn(sd)
-    # level-1 cap 640: this golden cloud has 514 distinct stride-2 cells
-    # (a 512 cap silently drops 2 voxels => 2 mismatched rows)
-    caps = (1024, 640, 256, 128, 64)
-    model = SPVCNN(num_classes=20, cr=float(g["cr"]), capacities=caps,
-                   pres=1.0, vres=1.0)
-    st, n = _pad_cloud(g["coords"], g["feats"], caps[0])
+    model = SPVCNN(num_classes=20, cr=float(g["cr"]),
+                   capacities=GOLDEN_CAPS, pres=1.0, vres=1.0)
+    st, n = _pad_cloud(g["coords"], g["feats"], GOLDEN_CAPS[0])
     got = np.asarray(model.apply(
         {"params": tr["params"], "batch_stats": tr["batch_stats"]},
         st, False))[:n]
@@ -172,17 +167,12 @@ def test_elkunet_matches_reference_logits():
     translated = translate_elkunet(sd)
     cr = float(np.load(SCANS[0])["cr"])
 
-    caps = (1024, 512, 256, 128, 64)
-    model = ELKUNet(num_classes=20, cr=cr, capacities=caps)
+    model = ELKUNet(num_classes=20, cr=cr, capacities=GOLDEN_CAPS)
 
     for path in SCANS:
         g = np.load(path)
-        coords, feats, want = g["coords"], g["feats"], g["logits"]
-        n, cap = len(coords), caps[0]
-        cpad = np.full((cap, 4), -(2 ** 20), np.int32)
-        fpad = np.zeros((cap, 4), np.float32)
-        cpad[:n], fpad[:n] = coords, feats
-        st = make_sparse_tensor(fpad, cpad, nnz=n)
+        st, n = _pad_cloud(g["coords"], g["feats"], GOLDEN_CAPS[0])
+        want = g["logits"]
         got = model.apply({"params": translated["params"],
                            "batch_stats": translated["batch_stats"]},
                           st, False)
