@@ -38,10 +38,14 @@ def _annealing_cos(start, end, pct):
 def one_cycle(lr_max: float, total_steps: int, moms=(0.95, 0.85),
               div_factor: float = 10.0, pct_start: float = 0.4):
     """fastai OneCycle (learning_schedules_fastai.py:77-97): phase 1 ramps
-    lr_max/div -> lr_max while momentum anneals high -> low; phase 2 anneals
-    lr_max -> lr_max/1e4 and momentum back up. Returns (lr_fn, mom_fn)."""
+    lr_max/div -> lr_max while momentum anneals high -> low; phase 2
+    anneals lr_max -> (lr_max/div)/1e4 and momentum back up. NOTE the
+    phase-2 floor is low_lr/1e4 (learning_schedules_fastai.py:88), not
+    lr_max/1e4 — golden-pinned in tests/test_golden_losses.py. Phase
+    boundary is int(pct_start*total) like LRSchedulerStep's int() arms.
+    Returns (lr_fn, mom_fn)."""
     low = lr_max / div_factor
-    split = pct_start * total_steps
+    split = int(pct_start * total_steps)
 
     def lr_fn(step):
         step = jnp.asarray(step, jnp.float32)
@@ -49,7 +53,7 @@ def one_cycle(lr_max: float, total_steps: int, moms=(0.95, 0.85),
         p2 = jnp.clip((step - split) / jnp.maximum(total_steps - split, 1), 0, 1)
         return jnp.where(step < split,
                          _annealing_cos(low, lr_max, p1),
-                         _annealing_cos(lr_max, lr_max / 1e4, p2))
+                         _annealing_cos(lr_max, low / 1e4, p2))
 
     def mom_fn(step):
         step = jnp.asarray(step, jnp.float32)

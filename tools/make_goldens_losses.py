@@ -108,9 +108,39 @@ def main():
                   reg_out=reg_out, reg_target=reg_tgt,
                   reg_value=rl.detach().numpy().astype(np.float32))
 
+    # --- OneCycle schedule curve (det) ------------------------------------
+    FS = _load_as("ref_fastai_sched", os.path.join(
+        det, "det3d/solver/learning_schedules_fastai.py"))
+    opt = types.SimpleNamespace(lr=0.0, mom=0.0)
+    total, lr_max = 937, 1e-3
+    sched = FS.OneCycle(opt, total, lr_max, [0.95, 0.85], 10.0, 0.4)
+    steps = np.unique(np.concatenate(
+        [np.arange(0, total, 37), [total - 1]])).astype(np.int64)
+    lrs, moms = [], []
+    for st in steps:
+        sched.step(int(st))
+        lrs.append(opt.lr)
+        moms.append(opt.mom)
+    arrays.update(oc_steps=steps, oc_total=np.int64(total),
+                  oc_lr_max=np.float64(lr_max),
+                  oc_lr=np.asarray(lrs, np.float64),
+                  oc_mom=np.asarray(moms, np.float64))
+
+    # --- gaussian_radius + draw_umich_gaussian (det targets) --------------
+    CU = sys.modules["det3d.core.utils.center_utils"]
+    hw = rng.uniform(0.5, 40, (64, 2)).astype(np.float64)
+    radii = np.asarray([CU.gaussian_radius((h_, w_), min_overlap=0.1)
+                        for h_, w_ in hw], np.float64)
+    heat = np.zeros((40, 40), np.float32)
+    centers = rng.integers(2, 38, (6, 2)).astype(np.int64)
+    for ci, (cx, cy) in enumerate(centers):
+        CU.draw_umich_gaussian(heat, (int(cx), int(cy)), 2 + ci)
+    arrays.update(gr_hw=hw, gr_radii=radii, dug_centers=centers,
+                  dug_heat=heat)
+
     np.savez_compressed(os.path.join(args.out, "losses.npz"), **arrays)
     print(f"losses golden: lovasz={lov.item():.6f} ff={ff.item():.6f} "
-          f"reg={rl.detach().numpy()}")
+          f"reg={rl.detach().numpy()} oc_lr[-1]={lrs[-1]:.3e}")
 
 
 if __name__ == "__main__":
