@@ -138,9 +138,36 @@ def main():
     arrays.update(gr_hw=hw, gr_radii=radii, dug_centers=centers,
                   dug_heat=heat)
 
+    # --- box geometry (eval/NMS substrate) ---------------------------------
+    sys.modules["det3d.core"].bbox = sys.modules.setdefault(
+        "det3d.core.bbox", types.ModuleType("det3d.core.bbox"))
+    sys.modules["det3d.core.bbox"].__path__ = []
+    sys.modules["det3d.core.bbox"].__spec__ = importlib.machinery.ModuleSpec(
+        "det3d.core.bbox", None, is_package=True)
+    _load_as("det3d.core.bbox.geometry",
+             os.path.join(det, "det3d/core/bbox/geometry.py"))
+    BO = _load_as("det3d.core.bbox.box_np_ops",
+                  os.path.join(det, "det3d/core/bbox/box_np_ops.py"))
+    nb_ = 24
+    centers = rng.uniform(-30, 30, (nb_, 2))
+    dims = rng.uniform(0.5, 6, (nb_, 2))
+    angles = rng.uniform(-2 * np.pi, 2 * np.pi, nb_)
+    corners = BO.center_to_corner_box2d(centers, dims, angles)
+    pts = np.concatenate(
+        [rng.uniform(-32, 32, (800, 2)), rng.uniform(-2.5, 2.5, (800, 1))],
+        axis=1).astype(np.float64)
+    boxes7 = np.concatenate(
+        [centers, rng.uniform(-1, 1, (nb_, 1)), dims,
+         rng.uniform(1, 3, (nb_, 1)), angles[:, None]], axis=1)
+    inside = BO.points_in_rbbox(pts, boxes7)
+    arrays.update(box_centers=centers, box_dims=dims, box_angles=angles,
+                  box_corners=corners, pir_points=pts, pir_boxes=boxes7,
+                  pir_inside=inside)
+
     np.savez_compressed(os.path.join(args.out, "losses.npz"), **arrays)
     print(f"losses golden: lovasz={lov.item():.6f} ff={ff.item():.6f} "
-          f"reg={rl.detach().numpy()} oc_lr[-1]={lrs[-1]:.3e}")
+          f"reg={rl.detach().numpy()} oc_lr[-1]={lrs[-1]:.3e} "
+          f"inside={int(inside.sum())}")
 
 
 if __name__ == "__main__":
