@@ -164,6 +164,48 @@ def main():
                   box_corners=corners, pir_points=pts, pir_boxes=boxes7,
                   pir_inside=inside)
 
+    # --- seg cosine-warmup schedule (schedulers.py:7-20) -------------------
+    tp = types.ModuleType("torchpack")
+    tpd = types.ModuleType("torchpack.distributed")
+    for mname, mod in (("torchpack", tp), ("torchpack.distributed", tpd)):
+        mod.__spec__ = importlib.machinery.ModuleSpec(mname, None)
+        sys.modules.setdefault(mname, mod)
+    tp.distributed = tpd
+    SS = _load_as("ref_seg_sched", os.path.join(
+        args.reference, "segmentation/core/schedulers.py"))
+    for world in (1, 4):
+        tpd.size = lambda w=world: w
+        mult = np.asarray(
+            [SS.cosine_schedule_with_warmup(k, 25, 2, 19130)
+             for k in range(0, 240000, 997)], np.float64)
+        arrays[f"cw_mult_w{world}"] = mult
+    arrays["cw_steps"] = np.arange(0, 240000, 997).astype(np.int64)
+
+    # --- sparse_quantize + kernel offsets (torchsparse-u) ------------------
+    tsu = "/tmp/tsu"
+    if os.path.isdir(tsu):
+        sys.path.insert(0, tsu)
+        from torchsparse.nn.utils import get_kernel_offsets
+        from torchsparse.utils.quantize import sparse_quantize
+
+        pts = rng.uniform(-40, 40, (5000, 3)).astype(np.float64)
+        qc, qi, qinv = sparse_quantize(pts.copy(), 0.05, return_index=True,
+                                       return_inverse=True)
+        arrays.update(sq_points=pts, sq_coords=qc.astype(np.int32),
+                      sq_index=qi.astype(np.int64),
+                      sq_inverse=qinv.astype(np.int64))
+        offs = {}
+        for ks, st_, dil in ((3, 1, 1), (2, 2, 1), (3, 2, 1), ((1, 1, 3), 1, 1),
+                             (5, 1, 1), (2, 1, 1), (7, 1, 1)):
+            o = get_kernel_offsets(ks, stride=st_, dilation=dil).numpy()
+            key = f"ko_{ks}_{st_}_{dil}".replace("(", "").replace(")", "") \
+                .replace(", ", "x").replace(" ", "")
+            offs[key] = o.astype(np.int32)
+        arrays.update(offs)
+    else:
+        print("NOTE: /tmp/tsu missing — quantize/kernel-offset goldens "
+              "not regenerated (see tests/goldens/README.md)")
+
     np.savez_compressed(os.path.join(args.out, "losses.npz"), **arrays)
     print(f"losses golden: lovasz={lov.item():.6f} ff={ff.item():.6f} "
           f"reg={rl.detach().numpy()} oc_lr[-1]={lrs[-1]:.3e} "
