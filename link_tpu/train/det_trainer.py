@@ -24,9 +24,12 @@ from .trainer import DATA_AXIS, TrainState, _data_sharded, _replicated
 
 
 def _decay_mask(params):
-    """True weight decay applies to weights only — torchie's OptimWrapper
-    puts BN and bias params in no-wd layer groups (fastai_optim.py:121).
-    Heuristic: decay only rank>=2 arrays named 'kernel'."""
+    """Weights-only decay mask (rank>=2 'kernel' arrays) for the
+    bn_wd=False variant. NOTE: the published recipe does NOT use it —
+    build_one_cycle_optimizer passes bn_wd=True (apis/train.py:164-169),
+    and OptimWrapper.step then decays the BN/bias group too
+    (fastai_optim.py:158-173), so every parameter gets true weight
+    decay. Golden-pinned in tests/test_golden_losses.py."""
     def mask_fn(path, leaf):
         name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
         return name == "kernel" and getattr(leaf, "ndim", 0) >= 2
@@ -35,19 +38,23 @@ def _decay_mask(params):
 
 def make_one_cycle_adam(lr_fn: Callable, mom_fn: Callable,
                         weight_decay: float = 0.01,
-                        grad_clip: float = 35.0) -> optax.GradientTransformation:
+                        grad_clip: float = 35.0,
+                        bn_wd: bool = True) -> optax.GradientTransformation:
     """Adam whose lr AND beta1 follow the OneCycle schedules, with
-    decoupled wd and global-norm clip 35 (optimizer_config in
-    configs/...elkv3.py:207). Returns a standard GradientTransformation:
-    optax.inject_hyperparams threads the schedules through its own step
-    counter, so the chain state is built once and never re-derived."""
+    decoupled (fastai "true") wd and global-norm clip 35
+    (optimizer_config in configs/...elkv3.py:207). bn_wd=True matches
+    the reference build (decay applies to BN/bias params as well).
+    Returns a standard GradientTransformation: optax.inject_hyperparams
+    threads the schedules through its own step counter, so the chain
+    state is built once and never re-derived."""
 
     @optax.inject_hyperparams
     def _tx(b1, learning_rate):
         return optax.chain(
             optax.clip_by_global_norm(grad_clip),
             optax.scale_by_adam(b1=b1, b2=0.99),
-            optax.add_decayed_weights(weight_decay, mask=_decay_mask),
+            optax.add_decayed_weights(
+                weight_decay, mask=None if bn_wd else _decay_mask),
             optax.scale_by_learning_rate(learning_rate),
         )
 

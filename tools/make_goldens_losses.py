@@ -164,6 +164,39 @@ def main():
                   box_corners=corners, pir_points=pts, pir_boxes=boxes7,
                   pir_inside=inside)
 
+    # --- fastai OptimWrapper true-wd Adam step (det optimizer) -------------
+    import collections
+    import collections.abc
+    if not hasattr(collections, "Iterable"):      # py3.10+ removal
+        collections.Iterable = collections.abc.Iterable
+    from functools import partial
+    FO = _load_as("ref_fastai_optim", os.path.join(
+        det, "det3d/solver/fastai_optim.py"))
+    torch.manual_seed(13)
+    mdl = torch.nn.Sequential(torch.nn.Linear(4, 3),
+                              torch.nn.BatchNorm1d(3))
+    wrap = FO.OptimWrapper.create(
+        partial(torch.optim.Adam, betas=(0.9, 0.99), amsgrad=False),
+        3e-3, [mdl], wd=0.01, true_wd=True, bn_wd=True)
+    p0 = {k: v.detach().clone().numpy() for k, v in mdl.named_parameters()}
+    lrs_o, moms_o, grads = [(7e-4, 0.93), (6e-4, 0.91)], [], {}
+    for si, (lr_, mom_) in enumerate(lrs_o):
+        wrap.lr, wrap.mom = lr_, mom_
+        for k, v in mdl.named_parameters():
+            gk = rng.standard_normal(v.shape).astype(np.float32) * 0.1
+            grads[f"{k}@{si}"] = gk
+            v.grad = torch.from_numpy(gk)
+        wrap.step()
+        wrap.zero_grad()
+    p2 = {k: v.detach().clone().numpy() for k, v in mdl.named_parameters()}
+    arrays.update(
+        opt_lrs=np.asarray([x[0] for x in lrs_o], np.float64),
+        opt_moms=np.asarray([x[1] for x in lrs_o], np.float64),
+        **{"optp0_" + k.replace(".", "__"): v for k, v in p0.items()},
+        **{"optp2_" + k.replace(".", "__"): v for k, v in p2.items()},
+        **{"optg_" + k.replace(".", "__").replace("@", "_s"): v
+           for k, v in grads.items()})
+
     # --- seg cosine-warmup schedule (schedulers.py:7-20) -------------------
     tp = types.ModuleType("torchpack")
     tpd = types.ModuleType("torchpack.distributed")
