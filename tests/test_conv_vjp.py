@@ -110,8 +110,10 @@ def test_mirror_perm():
     assert spconv.mirror_perm(offs2) is None
 
 
-def test_lovasz_perm_take_grad_parity():
-    """losses._perm_take's inverse-gather backward == plain AD scatter."""
+def test_lovasz_sort_form_grad_parity():
+    """The sort-form Lovász backward (both permutations as stable
+    multi-operand sorts over stop-grad values, gradient through the final
+    dot only) == plain argsort-gather AD."""
     from link_tpu.train import losses as L
     rng = np.random.default_rng(7)
     n, c = 300, 5
