@@ -46,6 +46,53 @@ def test_rpn_matches_reference(golden):
     assert err < 1e-5, f"rpn rel err {err}"
 
 
+def test_double_flip_decode_matches_reference(golden):
+    """4-flip TTA fusion + box decode vs the reference
+    CenterHead.predict's double_flip branch (map unflips, reg 1-x,
+    rot/vel sign flips, means; center_head.py predict) across all six
+    task groups with global label offsets. The golden ran with a
+    near-zero circle-NMS radius, so NMS is a no-op and the comparison
+    pins exactly our double_flip_fuse + decode_boxes math."""
+    import jax.numpy as jnp
+    from link_tpu.models.center_head import decode_boxes
+
+    flip_path = os.path.join(os.path.dirname(__file__), "goldens",
+                             "det_flip.npz")
+    if not os.path.exists(flip_path):
+        pytest.skip("det_flip golden not generated")
+    z = np.load(flip_path)
+    num_classes = [1, 2, 2, 1, 2, 2]
+    preds = []
+    for t in range(6):
+        preds.append({k: jnp.asarray(np.transpose(
+            z[f"flip_t{t}_{k}"], (0, 2, 3, 1)))
+            for k in ("hm", "reg", "height", "dim", "rot", "vel")})
+    test_cfg = dict(post_center_limit_range=[-8.0, -8.0, -10.0,
+                                             8.0, 8.0, 10.0],
+                    score_threshold=0.4, pc_range=[-6.0, -6.0],
+                    voxel_size=[0.075, 0.075], out_size_factor=8)
+    outs = decode_boxes(preds, test_cfg, num_classes, double_flip=True)
+    boxes, scores, labels = [], [], []
+    for bx, sc, lb, mk in outs:
+        m = np.asarray(mk[0])
+        b_, s_, l_ = (np.asarray(bx[0])[m], np.asarray(sc[0])[m],
+                      np.asarray(lb[0])[m])
+        # reference circle_nms emits keeps in score-descending order
+        # (circle_nms_jit.py:9) — replicate for the row-order compare
+        order = np.argsort(-s_, kind="stable")
+        boxes.append(b_[order])
+        scores.append(s_[order])
+        labels.append(l_[order])
+    boxes = np.concatenate(boxes)
+    scores = np.concatenate(scores)
+    labels = np.concatenate(labels)
+    assert boxes.shape == z["flip_boxes"].shape
+    np.testing.assert_allclose(boxes, z["flip_boxes"], rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(scores, z["flip_scores"], rtol=1e-5)
+    np.testing.assert_array_equal(labels, z["flip_labels"])
+
+
 def test_center_head_matches_reference(golden):
     import jax.numpy as jnp
     from link_tpu.models.center_head import CenterHead

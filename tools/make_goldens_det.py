@@ -261,6 +261,51 @@ def make_dense_golden(args):
         rpn_out = neck(torch.from_numpy(bev))
         preds, _ = head(rpn_out)      # forward returns (ret_dicts, shared)
 
+    # --- double-flip predict golden ---------------------------------------
+    # the reference fuses the 4-flip group INSIDE predict
+    # (center_head.py:predict double_flip branch: map unflips, reg 1-x,
+    # rot/vel sign flips, means) then decodes and post-processes. A
+    # near-zero circle-NMS radius makes the NMS a no-op, so the golden
+    # pins exactly the fusion + decode math (our double_flip_fuse +
+    # decode_boxes) without the reference circle path's unsorted-order
+    # quirk (LinK configs use rotated NMS, which is CUDA-only here).
+    class AD(dict):
+        def __getattr__(self, k):
+            return self[k]
+
+    rng2 = np.random.default_rng(31)
+    hh = ww = 16
+    pds = []
+    for nc in (1, 2, 2, 1, 2, 2):          # one preds_dict per task
+        pd = {"hm": rng2.standard_normal((4, nc, hh, ww)),
+              "reg": rng2.random((4, 2, hh, ww)),
+              "height": rng2.standard_normal((4, 1, hh, ww)) * 0.5,
+              "dim": rng2.standard_normal((4, 3, hh, ww)) * 0.3,
+              "rot": rng2.standard_normal((4, 2, hh, ww)),
+              "vel": rng2.standard_normal((4, 2, hh, ww))}
+        pds.append({k: v.astype(np.float32) for k, v in pd.items()})
+    test_cfg = AD(double_flip=True, score_threshold=0.4,
+                  post_center_limit_range=[-8.0, -8.0, -10.0,
+                                           8.0, 8.0, 10.0],
+                  out_size_factor=8, voxel_size=[0.075, 0.075],
+                  pc_range=[-6.0, -6.0], circular_nms=True,
+                  min_radius=[1e-6] * 6,
+                  nms=AD(nms_post_max_size=500, nms_pre_max_size=500,
+                         nms_iou_threshold=0.2))
+    with torch.no_grad():
+        ret = head.predict(
+            {"metadata": []},
+            [{k: torch.from_numpy(v.copy()) for k, v in pd.items()}
+             for pd in pds],
+            test_cfg)
+    sel = ret[0]
+    flip_arrays = {f"flip_t{t}_{k}": v for t, pd in enumerate(pds)
+                   for k, v in pd.items()}
+    flip_arrays.update(
+        flip_boxes=sel["box3d_lidar"].numpy(),
+        flip_scores=sel["scores"].numpy(),
+        flip_labels=sel["label_preds"].numpy().astype(np.int64))
+
     sd = {"neck." + k: v.detach().numpy()
           for k, v in neck.state_dict().items()}
     sd.update({"bbox_head." + k: v.detach().numpy()
@@ -272,6 +317,10 @@ def make_dense_golden(args):
     np.savez_compressed(
         os.path.join(args.out, "det_dense.npz"), **arrays,
         **{"sd_" + k.replace(".", "__"): v for k, v in sd.items()})
+    # separate small file: keeps the 26 MB weight archive untouched when
+    # only the flip golden changes
+    np.savez_compressed(os.path.join(args.out, "det_flip.npz"),
+                        **flip_arrays)
     print(f"dense golden: rpn_out {tuple(rpn_out.shape)}, "
           f"{len(preds)} task dicts")
 
