@@ -96,8 +96,12 @@ class RoIHead(nn.Module):
         def stack(h, cin, widths, prefix):
             for i, c in enumerate(widths):
                 h = Linear(cin, c, use_bias=False, name=f"{prefix}{i}")(h)
+                # torch BatchNorm1d defaults (roi_head.py:31,
+                # roi_head_template.py:33): eps 1e-5, momentum 0.1
+                # (flax decay 0.9) — golden-pinned vs the reference
+                # RoIHead in tests/test_golden_det_dense.py
                 h = nn.BatchNorm(use_running_average=not train,
-                                 momentum=0.99, epsilon=1e-3,
+                                 momentum=0.9, epsilon=1e-5,
                                  name=f"{prefix}{i}_bn")(h)
                 h = jax.nn.relu(h)
                 cin = c

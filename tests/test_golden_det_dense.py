@@ -93,6 +93,59 @@ def test_double_flip_decode_matches_reference(golden):
     np.testing.assert_array_equal(labels, z["flip_labels"])
 
 
+def test_roi_head_matches_reference():
+    """Two-stage RoIHead eval forward + canonical box decode vs the
+    reference (roi_head.py:17-98 + roi_head_template.py
+    generate_predicted_boxes): shared/cls/reg Conv1d(k=1)+BN1d stacks
+    with nudged running stats, the final biased Conv1ds, and the
+    f_{+ry} world-frame refinement over random rois."""
+    import jax.numpy as jnp
+    from link_tpu.models.two_stage import RoIHead, generate_refined_boxes
+
+    path = os.path.join(os.path.dirname(__file__), "goldens",
+                        "det_roi.npz")
+    if not os.path.exists(path):
+        pytest.skip("det_roi golden not generated")
+    z = np.load(path)
+    sd = {k[6:].replace("__", "."): z[k] for k in z.files
+          if k.startswith("roisd_")}
+
+    # reference Sequential indices: per FC layer [Conv1d, BN1d, ReLU]
+    # (+Dropout after shared layer 0 / fc layer 0 — paramless), final
+    # biased Conv1d at the stack tail for cls/reg
+    def fc(prefix_t, idx):
+        return sd[f"{prefix_t}.{idx}.weight"][:, :, 0].T   # (Ci, Co)
+
+    def bn(prefix_t, idx):
+        return ({"scale": sd[f"{prefix_t}.{idx}.weight"],
+                 "bias": sd[f"{prefix_t}.{idx}.bias"]},
+                {"mean": sd[f"{prefix_t}.{idx}.running_mean"],
+                 "var": sd[f"{prefix_t}.{idx}.running_var"]})
+
+    params, stats = {}, {}
+    for our, ref_pre, conv_ids in (
+            ("shared", "shared_fc_layer", (0, 4)),
+            ("cls_fc", "cls_layers", (0, 4)),
+            ("reg_fc", "reg_layers", (0, 4))):
+        for i, ci in enumerate(conv_ids):
+            params[f"{our}{i}"] = {"kernel": fc(ref_pre, ci)}
+            params[f"{our}{i}_bn"], stats[f"{our}{i}_bn"] = bn(ref_pre,
+                                                               ci + 1)
+    params["cls"] = {"kernel": fc("cls_layers", 7),
+                     "bias": sd["cls_layers.7.bias"]}
+    params["reg"] = {"kernel": fc("reg_layers", 7),
+                     "bias": sd["reg_layers.7.bias"]}
+
+    feats = jnp.asarray(z["roi_feats"][0])                 # (N, C)
+    iou, reg = RoIHead(input_channels=128, code_size=9).apply(
+        {"params": params, "batch_stats": stats}, feats, False)
+    np.testing.assert_allclose(np.asarray(iou), z["roi_cls"][0, :, 0],
+                               rtol=1e-4, atol=1e-5)
+    boxes = generate_refined_boxes(jnp.asarray(z["roi_rois"][0]), reg)
+    np.testing.assert_allclose(np.asarray(boxes), z["roi_boxes"][0],
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_center_head_matches_reference(golden):
     import jax.numpy as jnp
     from link_tpu.models.center_head import CenterHead

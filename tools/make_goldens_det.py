@@ -306,6 +306,68 @@ def make_dense_golden(args):
         flip_scores=sel["scores"].numpy(),
         flip_labels=sel["label_preds"].numpy().astype(np.int64))
 
+    # --- RoIHead golden (two-stage refinement MLP) --------------------------
+    # roi_head.py:17-98 eval forward: shared Conv1d(k=1)+BN1d+ReLU stack
+    # (+dropout, inert in eval) -> cls/reg stacks with a final biased
+    # Conv1d. ProposalTargetLayer / iou3d are stubbed: training=False
+    # never touches them.
+    tga = pkg("det3d.models.roi_heads")
+    pkg("det3d.models.roi_heads.target_assigner")
+    ptl = types.ModuleType(
+        "det3d.models.roi_heads.target_assigner.proposal_target_layer")
+    class _PTL:                       # constructed but never called in eval
+        def __init__(self, *a, **k):
+            pass
+    ptl.ProposalTargetLayer = _PTL
+    sys.modules[ptl.__name__] = ptl
+    reg.ROI_HEAD = reg.NECKS
+    _load_as("det3d.models.roi_heads.roi_head_template",
+             os.path.join(ref, "det3d/models/roi_heads/roi_head_template.py"))
+    rh_mod = _load_as("det3d.models.roi_heads.roi_head",
+                      os.path.join(ref, "det3d/models/roi_heads/roi_head.py"))
+
+    class CfgAD(dict):
+        def __getattr__(self, k):
+            return self[k]
+
+    torch.manual_seed(17)
+    rcfg = CfgAD(SHARED_FC=[256, 256], CLS_FC=[256, 256],
+                 REG_FC=[256, 256], DP_RATIO=0.3,
+                 TARGET_CONFIG=CfgAD(), LOSS_CONFIG=CfgAD(
+                     LOSS_WEIGHTS={"rcnn_cls_weight": 1.0,
+                                   "rcnn_reg_weight": 1.0,
+                                   "code_weights": [1.0] * 9}))
+    rih = rh_mod.RoIHead(input_channels=128, model_cfg=rcfg, num_class=1,
+                         code_size=9)
+    rih.eval()
+    with torch.no_grad():
+        for mod in rih.modules():
+            if isinstance(mod, torch.nn.BatchNorm1d):
+                mod.running_mean.uniform_(-0.2, 0.2)
+                mod.running_var.uniform_(0.6, 1.5)
+    n_roi = 40
+    roi_feats = rng2.standard_normal((1, n_roi, 128)).astype(np.float32)
+    rois = np.concatenate(
+        [rng2.uniform(-40, 40, (1, n_roi, 2)),          # x, y
+         rng2.uniform(-2, 2, (1, n_roi, 1)),            # z
+         rng2.uniform(0.5, 5, (1, n_roi, 3)),           # dims
+         rng2.uniform(-3.2, 3.2, (1, n_roi, 1)),        # ry
+         rng2.uniform(-2, 2, (1, n_roi, 2))],           # vel
+        axis=2).astype(np.float32)
+    bd = {"rois": torch.from_numpy(rois.copy()),
+          "roi_features": torch.from_numpy(roi_feats)}
+    with torch.no_grad():
+        bd = rih(bd, training=False)
+    roi_arrays = {
+        "roi_feats": roi_feats, "roi_rois": rois,
+        "roi_cls": bd["batch_cls_preds"].numpy(),
+        "roi_boxes": bd["batch_box_preds"].numpy(),
+        **{"roisd_" + k.replace(".", "__"): v.detach().numpy()
+           for k, v in rih.state_dict().items()}}
+    np.savez_compressed(os.path.join(args.out, "det_roi.npz"), **roi_arrays)
+    print(f"roi golden: cls {tuple(bd['batch_cls_preds'].shape)} "
+          f"boxes {tuple(bd['batch_box_preds'].shape)}")
+
     sd = {"neck." + k: v.detach().numpy()
           for k, v in neck.state_dict().items()}
     sd.update({"bbox_head." + k: v.detach().numpy()
