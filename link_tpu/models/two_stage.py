@@ -22,23 +22,39 @@ from ..nn.modules import Linear
 
 def bilinear_interpolate(fmap: jnp.ndarray, xs: jnp.ndarray,
                          ys: jnp.ndarray) -> jnp.ndarray:
-    """fmap (H, W, C); sample at float (xs, ys) in grid units."""
+    """fmap (H, W, C); sample at float (xs, ys) in grid units.
+
+    Reference-exact boundary semantics (center_utils.py
+    bilinear_interpolate_torch: weights computed from the CLAMPED
+    integer corners): a point fully outside the map contributes ZERO —
+    the two clamped-equal corners get weights that cancel — rather than
+    sampling the edge pixel. Production-relevant: decode's
+    post_center_limit_range (±61.2 m) exceeds the ±54 m BEV map, so
+    near-range-edge proposals do sample off-map points.
+    Golden-pinned in tests/test_golden_det_dense.py."""
     h, w, _ = fmap.shape
-    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 2)
-    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 2)
-    dx = jnp.clip(xs - x0, 0.0, 1.0)[:, None]
-    dy = jnp.clip(ys - y0, 0.0, 1.0)[:, None]
-    f00 = fmap[y0, x0]
-    f01 = fmap[y0, x0 + 1]
-    f10 = fmap[y0 + 1, x0]
-    f11 = fmap[y0 + 1, x0 + 1]
-    return (f00 * (1 - dx) * (1 - dy) + f01 * dx * (1 - dy)
-            + f10 * (1 - dx) * dy + f11 * dx * dy)
+    xf = jnp.floor(xs)
+    yf = jnp.floor(ys)
+    x0 = jnp.clip(xf.astype(jnp.int32), 0, w - 1)
+    x1 = jnp.clip(xf.astype(jnp.int32) + 1, 0, w - 1)
+    y0 = jnp.clip(yf.astype(jnp.int32), 0, h - 1)
+    y1 = jnp.clip(yf.astype(jnp.int32) + 1, 0, h - 1)
+    wa = ((x1 - xs) * (y1 - ys))[:, None]
+    wb = ((x1 - xs) * (ys - y0))[:, None]
+    wc = ((xs - x0) * (y1 - ys))[:, None]
+    wd = ((xs - x0) * (ys - y0))[:, None]
+    return (fmap[y0, x0] * wa + fmap[y1, x0] * wb
+            + fmap[y0, x1] * wc + fmap[y1, x1] * wd)
 
 
 def box_sample_points(boxes: jnp.ndarray, num_point: int = 5) -> jnp.ndarray:
     """(N, >=7) boxes [x y z w l h .. r] -> (num_point*N, 3) sample points:
-    center + 4 BEV edge midpoints (two_stage.py:51-76)."""
+    center + 4 BEV edge midpoints (two_stage.py:51-76). The midpoints use
+    the reference rotation sense — corner midpoints of
+    center_to_corner_box2d's rotation_2d (row-vector [[c,-s],[s,c]]:
+    (dx, dy) -> (dx·c + dy·s, -dx·s + dy·c)) — and the reference order
+    front (c0+c1 = (-w/2, 0)), back, left (0, -l/2), right.
+    Golden-pinned in tests/test_golden_det_dense.py."""
     if num_point == 1:
         return boxes[:, :3]
     cx, cy, z = boxes[:, 0], boxes[:, 1], boxes[:, 2]
@@ -47,11 +63,12 @@ def box_sample_points(boxes: jnp.ndarray, num_point: int = 5) -> jnp.ndarray:
     c, s = jnp.cos(r), jnp.sin(r)
 
     def mid(dx, dy):
-        return jnp.stack([cx + dx * c - dy * s, cy + dx * s + dy * c, z], 1)
+        return jnp.stack([cx + dx * c + dy * s, cy - dx * s + dy * c, z], 1)
 
+    zero = 0 * hw
     return jnp.concatenate([
-        boxes[:, :3], mid(hw, 0 * hw), mid(-hw, 0 * hw),
-        mid(0 * hw, hl), mid(0 * hw, -hl)], axis=0)
+        boxes[:, :3], mid(-hw, zero), mid(hw, zero),
+        mid(zero, -hl), mid(zero, hl)], axis=0)
 
 
 class BEVFeatureExtractor(nn.Module):

@@ -146,6 +146,30 @@ def test_roi_head_matches_reference():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_bev_pooling_matches_reference():
+    """Two-stage BEV 5-point pooling vs the reference
+    (two_stage.py:get_box_center + bird_eye_view.py +
+    bilinear_interpolate_torch), incl. boxes whose sample points land
+    outside the map (boundary clamp semantics)."""
+    import jax.numpy as jnp
+    from link_tpu.models.two_stage import (BEVFeatureExtractor,
+                                           box_sample_points)
+
+    path = os.path.join(os.path.dirname(__file__), "goldens",
+                        "det_roi.npz")
+    if not os.path.exists(path):
+        pytest.skip("det_roi golden not generated")
+    z = np.load(path)
+    if "bev_map" not in z.files:
+        pytest.skip("bev golden not generated")
+    pts = box_sample_points(jnp.asarray(z["bev_boxes"]), num_point=5)
+    pooled = BEVFeatureExtractor(
+        pc_start=(-6.0, -6.0), voxel_size=(0.5, 0.5), out_stride=1).apply(
+        {}, jnp.asarray(z["bev_map"]), pts, 5)
+    np.testing.assert_allclose(np.asarray(pooled), z["bev_pooled"],
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_center_head_matches_reference(golden):
     import jax.numpy as jnp
     from link_tpu.models.center_head import CenterHead

@@ -364,6 +364,38 @@ def make_dense_golden(args):
         "roi_boxes": bd["batch_box_preds"].numpy(),
         **{"roisd_" + k.replace(".", "__"): v.detach().numpy()
            for k, v in rih.state_dict().items()}}
+    # BEV 5-point pooling golden (detectors/two_stage.py:get_box_center
+    # 51-78 + second_stage/bird_eye_view.py + center_utils
+    # bilinear_interpolate_torch) — includes boxes near/off the map edge
+    # to pin the boundary clamp semantics
+    CU = sys.modules["det3d.core.utils.center_utils"]
+    bto2 = sys.modules["det3d.core.bbox.box_torch_ops"]
+    bev_m = rng2.standard_normal((24, 24, 8)).astype(np.float32)
+    nb2 = 30
+    bboxes = np.concatenate(
+        [rng2.uniform(-9, 9, (nb2, 2)),               # x, y (some off-map)
+         rng2.uniform(-2, 2, (nb2, 1)),
+         rng2.uniform(0.5, 5, (nb2, 3)),
+         rng2.uniform(-2, 2, (nb2, 2)),
+         rng2.uniform(-3.2, 3.2, (nb2, 1))], axis=1).astype(np.float32)
+    tb = torch.from_numpy(bboxes)
+    corners = bto2.center_to_corner_box2d(tb[:, :2], tb[:, 3:5], tb[:, -1])
+    height = tb[:, 2:3]
+    fm = torch.cat([(corners[:, 0] + corners[:, 1]) / 2, height], dim=-1)
+    bm = torch.cat([(corners[:, 2] + corners[:, 3]) / 2, height], dim=-1)
+    lm = torch.cat([(corners[:, 0] + corners[:, 3]) / 2, height], dim=-1)
+    rm = torch.cat([(corners[:, 1] + corners[:, 2]) / 2, height], dim=-1)
+    points = torch.cat([tb[:, :3], fm, bm, lm, rm], dim=0)
+    pc_start, vox, ostride = (-6.0, -6.0), (0.5, 0.5), 1
+    xs = (points[:, 0] - pc_start[0]) / vox[0] / ostride
+    ys = (points[:, 1] - pc_start[1]) / vox[1] / ostride
+    pooled = CU.bilinear_interpolate_torch(torch.from_numpy(bev_m), xs, ys)
+    sec = len(pooled) // 5
+    pooled = torch.cat([pooled[i * sec:(i + 1) * sec] for i in range(5)],
+                       dim=1)
+    roi_arrays.update(bev_map=bev_m, bev_boxes=bboxes,
+                      bev_pooled=pooled.numpy())
+
     np.savez_compressed(os.path.join(args.out, "det_roi.npz"), **roi_arrays)
     print(f"roi golden: cls {tuple(bd['batch_cls_preds'].shape)} "
           f"boxes {tuple(bd['batch_box_preds'].shape)}")
