@@ -90,6 +90,7 @@ class CenterHead(nn.Module):
             from .dcn import DCNSepHead
             return [DCNSepHead(heads=self.common_heads,
                                num_cls=len(classes), bn_axis=self.bn_axis,
+                               init_bias=self.init_bias, dtype=self.dtype,
                                name=f"task{t}_dcn")(h, train)
                     for t, classes in enumerate(self.tasks)]
 

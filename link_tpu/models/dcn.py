@@ -145,9 +145,17 @@ class FeatureAdaption(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         k = self.kernel_size * self.kernel_size
         # offsets computed in f32 regardless of the feature dtype: they are
-        # coordinates, and bf16 quantizes fractional positions too coarsely
+        # coordinates, and bf16 quantizes fractional positions too coarsely.
+        # init parity: the reference init_offset() zeroes only the WEIGHT
+        # (center_head.py:46-48); the bias keeps torch Conv2d's default
+        # uniform(+-1/sqrt(fan_in)) draw, so from-scratch offsets start
+        # slightly nonzero. fan_in of the 1x1 conv = in_channels.
+        def _torch_bias(key, shape, dtype=jnp.float32):
+            bound = 1.0 / np.sqrt(x.shape[-1])
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
         off = nn.Conv(self.deformable_groups * k * 2, (1, 1), use_bias=True,
-                      kernel_init=nn.initializers.zeros, dtype=jnp.float32,
+                      kernel_init=nn.initializers.zeros,
+                      bias_init=_torch_bias, dtype=jnp.float32,
                       name="conv_offset")(x)
         # param stays f32 like every other weight in the stack (optimizer
         # master copy + checkpoint tree dtype); deform_conv2d casts to the
@@ -172,21 +180,23 @@ class DCNSepHead(nn.Module):
     final_kernel: int = 3
     init_bias: float = -2.19
     bn_axis: Optional[str] = None
+    dtype: str = "float32"     # compute dtype; params stay f32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
+        dt = jnp.dtype(self.dtype)
         c = x.shape[-1]
         cls_feat = FeatureAdaption(c, name="feature_adapt_cls")(x)
         reg_feat = FeatureAdaption(c, name="feature_adapt_reg")(x)
 
         # cls head: Conv3x3 + BN + ReLU + Conv3x3(init_bias)
         h = nn.Conv(self.head_conv, (3, 3), padding=1, use_bias=True,
-                    name="cls0")(cls_feat)
+                    dtype=dt, name="cls0")(cls_feat.astype(dt))
         h = nn.BatchNorm(use_running_average=not train,
                          axis_name=self.bn_axis, **HEAD_NORM,
-                         name="cls_bn")(h)
+                         dtype=dt, name="cls_bn")(h)
         h = jax.nn.relu(h)
-        hm = nn.Conv(self.num_cls, (3, 3), padding=1, use_bias=True,
+        hm = nn.Conv(self.num_cls, (3, 3), padding=1, use_bias=True, dtype=dt,
                      bias_init=nn.initializers.constant(self.init_bias),
                      name="cls1")(h)
 
@@ -194,7 +204,7 @@ class DCNSepHead(nn.Module):
         for name, (ch, ncv) in self.heads:
             out[name] = HeadBranch(ch, ncv, head_conv=self.head_conv,
                                    final_kernel=self.final_kernel,
-                                   bn_axis=self.bn_axis,
-                                   name=name)(reg_feat, train)
+                                   bn_axis=self.bn_axis, dtype=self.dtype,
+                                   name=name)(reg_feat.astype(dt), train)
         out["hm"] = hm
         return out

@@ -13,7 +13,7 @@ This module owns the mesh and sharding helpers; `train.trainer` and
 
 from __future__ import annotations
 
-from typing import Callable, Dict
+from typing import Any, Callable, Dict
 
 import jax
 import numpy as np
@@ -37,7 +37,7 @@ def data_sharded(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
-def stack_device_batches(batches) -> Dict[str, np.ndarray]:
+def stack_device_batches(batches) -> Any:
     """Stack per-device host batches along a new leading device axis (the
     axis `data_sharded` partitions). Tree-mapped so nested batch entries —
     e.g. detection targets, whose per-task lists have heterogeneous class

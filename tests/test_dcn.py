@@ -105,12 +105,21 @@ def test_offset_gradients_flow():
 
 
 def test_feature_adaption_zero_init_matches_plain_conv_sample():
-    """conv_offset is zero-init (reference init_offset), so at init the
-    module is a plain (deformable-group-agnostic) 3x3 conv + ReLU."""
+    """The reference init_offset zeroes only the conv_offset WEIGHT; with
+    the bias also forced to zero the module must reduce to a plain
+    (deformable-group-agnostic) 3x3 conv + ReLU."""
     rng = np.random.default_rng(3)
     x = jnp.asarray(rng.normal(size=(1, 8, 8, 8)).astype(np.float32))
     m = FeatureAdaption(8)
     vs = m.init(jax.random.PRNGKey(0), x)
+    # init parity with torch: weight all-zero, bias a nonzero uniform draw
+    off_p = vs["params"]["conv_offset"]
+    assert not np.any(np.asarray(off_p["kernel"]))
+    bias = np.asarray(off_p["bias"])
+    bound = 1.0 / np.sqrt(8)
+    assert np.any(bias) and np.all(np.abs(bias) <= bound)
+    vs = jax.tree_util.tree_map(lambda a: a, vs)  # unfreeze-safe copy
+    vs["params"]["conv_offset"]["bias"] = jnp.zeros_like(off_p["bias"])
     y = m.apply(vs, x)
     w = vs["params"]["deform_weight"]
     hwio = jnp.reshape(w, (3, 3, 8, 8))
