@@ -38,6 +38,12 @@ def main():
     ap.add_argument("--run-dir", default=None)
     ap.add_argument("--voxel-capacity", type=int, default=163840)
     ap.add_argument("--grid", type=int, nargs=3, default=[1440, 1440, 40])
+    ap.add_argument("--coordinator", default=None,
+                    help="multi-host: coordinator address host:port "
+                         "(or set JAX_COORDINATOR_ADDRESS); reference "
+                         "equivalent: NCCL env:// init, tools/train.py:87")
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
     args = ap.parse_args()
 
     import jax
@@ -45,6 +51,10 @@ def main():
     import numpy as np
     jax.config.update("jax_compilation_cache_dir",
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
+    from link_tpu.parallel import multihost as mh
+    mh.maybe_initialize(args.coordinator, args.num_processes,
+                        args.process_id)
+    is_main = jax.process_index() == 0
 
     from link_tpu.data import det_pipeline as dp
     from link_tpu.data.nuscenes import NuScenesDataset, SyntheticNuScenes
@@ -69,9 +79,11 @@ def main():
         args.epochs = cfg.total_epochs
         args.info_path = cfg.data.train_anno
 
-    devices = jax.devices()
+    devices = jax.devices()          # GLOBAL across processes
     ndev = len(devices)
     mesh = T.make_data_mesh(devices)
+    local_pos = [i for i, d in enumerate(mesh.devices.flat)
+                 if d.process_index == jax.process_index()]
     spd = args.samples_per_device
 
     db_sampler = None
@@ -118,16 +130,15 @@ def main():
     nparams = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
     print(f"params: {nparams/1e6:.2f}M, total_steps={total_steps}")
 
-    shard = jax.sharding.NamedSharding(mesh,
-                                       jax.sharding.PartitionSpec(T.DATA_AXIS))
     run_dir = args.run_dir or os.path.join("runs", "det-" +
                                            time.strftime("%m%d%H%M"))
-    os.makedirs(run_dir, exist_ok=True)
     from link_tpu.utils.logging import (MetricsLogger, TensorboardLogger,
                                         save_runtime_code)
-    save_runtime_code(run_dir)        # reference rsync code backup
-    jlog = MetricsLogger(run_dir, interval=1)
-    tb = TensorboardLogger(run_dir)
+    if is_main:    # rank-0 logging/checkpoints (reference trainer hooks)
+        os.makedirs(run_dir, exist_ok=True)
+        save_runtime_code(run_dir)    # reference rsync code backup
+        jlog = MetricsLogger(run_dir, interval=1)
+        tb = TensorboardLogger(run_dir)
 
     steps_per_epoch = max(1, len(train_ds) // (ndev * spd))
     for epoch in range(1, args.epochs + 1):
@@ -137,9 +148,11 @@ def main():
         shards = shard_indices(idx[:steps_per_epoch * ndev * spd], ndev)
 
         def make_batch(step, shards=shards):
+            # only THIS process's device rows; global array assembled from
+            # per-process shards (multihost.make_global_batch)
             per_dev = [make_dev_batch(shards[d][step * spd:(step + 1) * spd])
-                       for d in range(ndev)]
-            return jax.device_put(T.stack_device_batches(per_dev), shard)
+                       for d in local_pos]
+            return mh.make_global_batch(mesh, per_dev)
 
         t0 = time.time()
         losses = []
@@ -148,6 +161,8 @@ def main():
             losses.append(metrics["loss"])
         loss = float(np.mean([np.asarray(l) for l in losses]))
         rate = steps_per_epoch * ndev * spd / (time.time() - t0)
+        if not is_main:
+            continue
         print(f"epoch {epoch}: loss={loss:.4f} ({rate:.2f} samples/s)",
               flush=True)
         scalars = {"loss/train": loss, "samples_per_sec": rate}

@@ -30,6 +30,12 @@ def main():
     ap.add_argument("--synthetic", action="store_true",
                     help="use the synthetic dataset (no real data needed)")
     ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--coordinator", default=None,
+                    help="multi-host: coordinator address host:port "
+                         "(or set JAX_COORDINATOR_ADDRESS); reference "
+                         "equivalent: torchpack MPI launch, train.py:41-45")
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args()
 
@@ -38,6 +44,10 @@ def main():
     import numpy as np
     jax.config.update("jax_compilation_cache_dir",
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
+    from link_tpu.parallel import multihost as mh
+    mh.maybe_initialize(args.coordinator, args.num_processes,
+                        args.process_id)
+    is_main = jax.process_index() == 0
 
     from link_tpu.utils.config import load_config
     from link_tpu.models import builder
@@ -54,11 +64,16 @@ def main():
     if args.epochs:
         cfg.num_epochs = args.epochs
 
-    devices = jax.devices()
+    devices = jax.devices()          # GLOBAL across processes
     ndev = len(devices)
     mesh = T.make_data_mesh(devices)
+    # this process's device positions within the global mesh order
+    local_pos = [i for i, d in enumerate(mesh.devices.flat)
+                 if d.process_index == jax.process_index()]
     world_batch = cfg.batch_size * ndev
-    print(f"devices={ndev} world_batch={world_batch}")
+    if is_main:
+        print(f"devices={ndev} (local {len(local_pos)}) "
+              f"processes={jax.process_count()} world_batch={world_batch}")
 
     if args.synthetic or not os.path.isdir(cfg.dataset.root):
         print("using synthetic dataset")
@@ -107,18 +122,17 @@ def main():
         model, tx, mesh, ignore_label=cfg.criterion.ignore_index)
     eval_step = T.make_dp_eval_step(model, mesh, cfg.data.num_classes,
                                     cfg.data.ignore_label)
-    shard = jax.sharding.NamedSharding(mesh,
-                                       jax.sharding.PartitionSpec(T.DATA_AXIS))
 
     run_dir = args.run_dir or os.path.join(
         "runs", os.path.splitext(os.path.basename(args.config))[0]
         + time.strftime("-%m%d%H%M"))
-    os.makedirs(run_dir, exist_ok=True)
     from link_tpu.utils.logging import (MetricsLogger, TensorboardLogger,
                                         save_runtime_code)
-    save_runtime_code(run_dir)        # reference saveRuntimeCode semantics
-    jlog = MetricsLogger(run_dir, interval=1)
-    tb = TensorboardLogger(run_dir)
+    if is_main:    # rank-0 logging/checkpoints, reference train.py:129-139
+        os.makedirs(run_dir, exist_ok=True)
+        save_runtime_code(run_dir)    # reference saveRuntimeCode semantics
+        jlog = MetricsLogger(run_dir, interval=1)
+        tb = TensorboardLogger(run_dir)
 
     seed = cfg.train.seed
     steps_per_epoch = max(1, len(train_ds) // world_batch)
@@ -127,13 +141,14 @@ def main():
         shards = shard_indices(idx[:steps_per_epoch * world_batch], ndev)
 
         def make_batch(step, shards=shards, epoch=epoch):
+            # build only THIS process's device rows; the global array is
+            # assembled from per-process shards (multihost.py)
             per_dev = []
-            for d in range(ndev):
+            for d in local_pos:
                 rng = np.random.default_rng(seed * 1000 + epoch * 100 + step * ndev + d)
                 sl = shards[d][step * cfg.batch_size:(step + 1) * cfg.batch_size]
                 per_dev.append(make_dev_batch(train_ds, sl, rng))
-            gb = T.stack_device_batches(per_dev)
-            return jax.device_put(gb, shard)
+            return mh.make_global_batch(mesh, per_dev)
 
         t_ep = time.time()
         losses = []
@@ -142,23 +157,28 @@ def main():
             losses.append(metrics["loss"])
         loss = float(np.mean([np.asarray(l) for l in losses]))
         dt = time.time() - t_ep
-        print(f"epoch {epoch}: loss={loss:.4f} "
-              f"({steps_per_epoch * world_batch / dt:.2f} scans/s)",
-              flush=True)
+        if is_main:
+            print(f"epoch {epoch}: loss={loss:.4f} "
+                  f"({steps_per_epoch * world_batch / dt:.2f} scans/s)",
+                  flush=True)
 
         # validation (voxel-level mIoU)
         miou_metric = MeanIoU(cfg.data.num_classes, cfg.data.ignore_label)
         n_val_steps = max(1, len(val_ds) // world_batch)
         for step in range(n_val_steps):
             per_dev = []
-            for d in range(ndev):
+            for d in local_pos:
                 base = (step * ndev + d) * cfg.batch_size
                 sl = [(base + k) % len(val_ds) for k in range(cfg.batch_size)]
                 per_dev.append(make_dev_batch(val_ds, sl))
-            gb = jax.device_put(T.stack_device_batches(per_dev), shard)
+            gb = mh.make_global_batch(mesh, per_dev)
             _, counters = eval_step(state, gb)
+            # counters are psum'd over the GLOBAL mesh inside the step, so
+            # they already include every process's shard
             miou_metric.update(np.asarray(counters))
         miou = miou_metric.compute()
+        if not is_main:
+            continue
         print(f"epoch {epoch}: val mIoU (voxel) = {miou*100:.2f}", flush=True)
 
         scalars = {"loss/train": loss, "iou/val": float(miou),
