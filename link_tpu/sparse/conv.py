@@ -92,7 +92,8 @@ def build_conv_plan(in_coords: jnp.ndarray,
                     quantum: int = 0,
                     in_sorted: bool = False,
                     out_sorted: bool = False,
-                    table=None) -> ConvPlan:
+                    table=None,
+                    x_lattice: int = 0) -> ConvPlan:
     """Build the kernel map: for each output row and tap, the input row at
     out_coord + offset (or -1). Mirrors conv.py:103-122 (offsets -> hash ->
     query) with an exact sorted-table join instead of hashing.
@@ -124,11 +125,24 @@ def build_conv_plan(in_coords: jnp.ndarray,
                 self_gi = next(
                     (gi for gi, ((ox0, oy, oz), _) in enumerate(glist)
                      if oy == 0 and oz == 0 and ox0 in (0, -quantum)), None)
+        fact_idx = fact_adj = None
+        if (FACTORED_APPLY != "0"
+                and base_pos is not None and groups is not None
+                and quantum == x_lattice
+                and all(len(t) <= 3 for t in groups)
+                and any(len(t) >= 2 for t in groups)):
+            # x-factored apply plan: valid because occupied x cells at this
+            # level are multiples of the lattice step (== quantum when
+            # dilation is 1), so a group's run cells, when occupied, are
+            # CONSECUTIVE table rows
+            fact_idx, fact_adj = build_fact_index(
+                in_idx, groups, table.rows, quantum, in_capacity)
         return ConvPlan(in_idx=in_idx, out_coords=out_coords,
                         out_nnz=out_nnz, in_capacity=in_capacity,
                         out_capacity=out_coords.shape[0],
                         base_pos=base_pos, slot=slot, groups=groups,
-                        self_group=self_gi, mirror=mir)
+                        self_group=self_gi, mirror=mir,
+                        fact_idx=fact_idx, fact_adj=fact_adj)
     offs = jnp.asarray(offs_np, jnp.int32)                 # (K, 3)
     qxyz = out_coords[None, :, :3] + offs[:, None, :]      # (K, M, 3)
     qb = jnp.broadcast_to(out_coords[None, :, 3:],
@@ -138,6 +152,171 @@ def build_conv_plan(in_coords: jnp.ndarray,
     return ConvPlan(in_idx=in_idx, out_coords=out_coords, out_nnz=out_nnz,
                     in_capacity=in_capacity, out_capacity=out_coords.shape[0],
                     mirror=mir)
+
+
+# x-FACTORED apply: MEASURED NEGATIVE on v5e — default OFF ("auto"
+# enables it for A/B runs and tests). The idea: pre-combine each
+# (dy, dz) group's x-run taps densely so the apply gathers 1 row/group
+# instead of 3 (27 -> 8/9 descriptors per output). Measured (round 4,
+# tools/profile_fwd.py): the single gather reads from a 3N-row case
+# array, which falls off the gather engine's table-size cliff (round-3c:
+# 167 vs 354 Mrows/s for the same bytes in a larger table) — the
+# per-group gather costs 156 ms/scan vs the ~97 ms of per-tap gathers it
+# replaced, plus 94 ms of section concats and 66 ms of full-table
+# matmuls. End-to-end: seg 4.11 vs 6.07 scans/s, det 1.45 vs 2.93 fps.
+# Kept (tested, exact) because the formulation wins on any hardware
+# whose gather cost is per-descriptor and table-size-flat.
+FACTORED_APPLY = _os.environ.get("FACTORED_APPLY", "0")
+if FACTORED_APPLY not in ("auto", "0"):
+    raise ValueError(f"FACTORED_APPLY must be 'auto' or '0', got "
+                     f"{FACTORED_APPLY!r}")
+
+
+def build_fact_index(in_idx: jnp.ndarray, groups, table_rows: jnp.ndarray,
+                     quantum: int, n: int):
+    """Plan tensors for the x-factored apply (see _fact_apply_impl).
+
+    The reference engine gathers one input row per tap (27 descriptors per
+    output for a 3^3 kernel, convolution_cuda.cu:101-126). On TPU the
+    gather DESCRIPTOR rate is the measured wall (~400-550 Mrows/s
+    regardless of row width, PLAN.md roofline), so we exploit sorted-key
+    adjacency instead: within one (dy, dz) group the 2-3 x-taps hit
+    *consecutive table rows*, which a dense pre-combination (masked row
+    shifts + MXU matmuls) can merge BEFORE the gather — one descriptor
+    per group instead of one per tap.
+
+    For each group (taps ordered by x, cells c0 < c1 [< c2] at lattice
+    step `quantum`) the apply gathers ONE row from the per-group case
+    array F (sections of `n` rows):
+
+      3-run: F = [Ybar | E | C | 0]; center c1 hit at row r -> Ybar[r]
+             (Ybar[i] = B[i-1]*adjm + M[i] + C[i+1]*adjp covers all three
+             taps: if c0/c2 exist they are EXACTLY rows r-1/r+1, since
+             occupied x cells are lattice multiples); else c0 hit at row
+             r -> E[r] = B[r] + C[r+1]*gap2 (c2, if present, is the next
+             row iff the key gap is exactly 2q); else c2 hit -> C; else
+             the zero row.
+      2-run: F = [Y2 | C | 0] with Y2[i] = B[i] + C[i+1]*adjp.
+
+    Requires identity_perm (feature rows == table rows). Returns
+    (fact_idx (G, M) int32, fact_adj (3, N) bool = [adjm, adjp, gap2]).
+    """
+    hi, lo = table_rows[:, 0], table_rows[:, 1]
+    same = hi[1:] == hi[:-1]
+    d = lo[1:] - lo[:-1]
+    # x lives in lo's low bits; a lo-delta of q within equal hi can only
+    # be an x step (y boundaries jump by SPAN_X >> any real x extent) —
+    # the same invariant grouped_window_query's `t_lo = q_lo + dx` uses.
+    adj_next = same & (d == quantum)
+    gap2_next = same & (d == 2 * quantum)
+    f1 = jnp.zeros((1,), bool)
+    adjm = jnp.concatenate([f1, adj_next])       # row i-1 is my x-q cell
+    adjp = jnp.concatenate([adj_next, f1])       # row i+1 is my x+q cell
+    gap2 = jnp.concatenate([gap2_next, f1])      # row i+1 is my x+2q cell
+    fact = []
+    for taps in groups:
+        cs = [in_idx[t] for t in taps]
+        if len(taps) == 3:
+            gi = jnp.where(cs[1] >= 0, cs[1],
+                           jnp.where(cs[0] >= 0, n + cs[0],
+                                     jnp.where(cs[2] >= 0, 2 * n + cs[2],
+                                               3 * n)))
+        elif len(taps) == 2:
+            gi = jnp.where(cs[0] >= 0, cs[0],
+                           jnp.where(cs[1] >= 0, n + cs[1], 2 * n))
+        else:
+            gi = jnp.where(cs[0] >= 0, cs[0], n)
+        fact.append(gi)
+    return (coordlib.checkpoint_name(jnp.stack(fact), coordlib.PLAN_TAG),
+            coordlib.checkpoint_name(jnp.stack([adjm, adjp, gap2]),
+                                     coordlib.PLAN_TAG))
+
+
+def _fact_apply_impl(feats: jnp.ndarray, weight: jnp.ndarray,
+                     fact_idx: jnp.ndarray, adj: jnp.ndarray,
+                     groups, self_group) -> jnp.ndarray:
+    """x-factored forward: per (dy, dz) group, pre-combine the x-run taps
+    with dense MXU matmuls + masked row shifts, then gather ONE row per
+    group from the case array (build_fact_index). 3^3 submanifold convs
+    drop from 27 to 8 gather descriptors per output (the self group's
+    center always hits its own row — direct add, no gather); strided 3^3
+    from 27 to 9; 2^3 from 8 to 4. The dense pre-combination is ~2KC_iC_o
+    extra FLOPs per row — noise on the MXU (<5% of the gather time saved;
+    PLAN.md: conv matmuls were <5% of the forward while gathers were ~51%).
+    """
+    n = feats.shape[0]
+    co = weight.shape[2]
+    dt = feats.dtype
+    adjm = adj[0][:, None]
+    adjp = adj[1][:, None]
+    gap2 = adj[2][:, None]
+    zrow_f = jnp.zeros((1, co), jnp.float32)
+    acc = jnp.zeros((fact_idx.shape[1], co), jnp.float32)
+    for gi, taps in enumerate(groups):
+        mats = [jnp.dot(feats, weight[t].astype(dt),
+                        preferred_element_type=jnp.float32) for t in taps]
+        if len(taps) == 3:
+            b, mm, c = mats
+            c_up = jnp.concatenate([c[1:], zrow_f])
+            b_dn = jnp.concatenate([zrow_f, b[:-1]])
+            ybar = jnp.where(adjm, b_dn, 0.0) + mm + jnp.where(adjp, c_up,
+                                                               0.0)
+            if gi == self_group:
+                # center cell == own row: contribution is Ybar at the own
+                # index — no gather; mask padding rows (center miss)
+                mask = (fact_idx[gi] < n)[:, None]
+                acc = acc + jnp.where(mask, ybar, 0.0)
+                continue
+            e = b + jnp.where(gap2, c_up, 0.0)
+            secs = [ybar, e, c]
+        elif len(taps) == 2:
+            b, c = mats
+            c_up = jnp.concatenate([c[1:], zrow_f])
+            secs = [b + jnp.where(adjp, c_up, 0.0), c]
+        else:
+            secs = mats
+        # sections cast to the feature dtype: one extra rounding per
+        # group-sum in bf16 runs (goldens run f32 — exact there); keeps
+        # the gather operand at feature width
+        f = jnp.concatenate([s.astype(dt) for s in secs]
+                            + [jnp.zeros((1, co), dt)])
+        acc = acc + f[fact_idx[gi]].astype(jnp.float32)
+    return acc.astype(dt)
+
+
+def _gm_fact_factory(groups, self_group):
+    """custom-VJP x-factored apply. Backward = the standard one-pass
+    inverse-map backward (_gm_bwd_core) over the plan's per-tap maps —
+    same cost as the non-factored path's backward; the factoring buys its
+    3x on the forward (which the remat policy also replays in training)."""
+    key = (groups, self_group)
+    fn = _GM_FACT_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    @jax.custom_vjp
+    def f(feats, weight, fact_idx, adj, bwd_idx):
+        return _fact_apply_impl(feats, weight, fact_idx, adj, groups,
+                                self_group)
+
+    def fwd(feats, weight, fact_idx, adj, bwd_idx):
+        return (_fact_apply_impl(feats, weight, fact_idx, adj, groups,
+                                 self_group),
+                (feats, weight, fact_idx, adj, bwd_idx))
+
+    def bwd(res, g):
+        feats, weight, fact_idx, adj, bwd_idx = res
+        d_feats, d_w = _gm_bwd_core(feats, weight, bwd_idx, g)
+        zero = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+        return (d_feats.astype(feats.dtype), d_w.astype(weight.dtype),
+                zero(fact_idx), zero(adj), zero(bwd_idx))
+
+    f.defvjp(fwd, bwd)
+    _GM_FACT_CACHE[key] = f
+    return f
+
+
+_GM_FACT_CACHE = {}
 
 
 def invert_plan(plan: ConvPlan) -> jnp.ndarray:
@@ -420,6 +599,13 @@ def _gm_bwd(res, g):
     d_feats AND re-gathering feats for dW (round-3 profile: the backward
     was ~2/3 of all conv gather time)."""
     feats, weight, idx, bwd_idx = res
+    d_feats, d_w = _gm_bwd_core(feats, weight, bwd_idx, g)
+    zero = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+    return (d_feats.astype(feats.dtype), d_w.astype(weight.dtype),
+            zero(idx), zero(bwd_idx))
+
+
+def _gm_bwd_core(feats, weight, bwd_idx, g):
     m_out = g.shape[0]
     co = weight.shape[2]
     g_ext = jnp.concatenate([g, jnp.zeros((1, co), g.dtype)], axis=0)
@@ -433,9 +619,7 @@ def _gm_bwd(res, g):
             preferred_element_type=jnp.float32)
         dws.append(jnp.dot(feats.T, gk.astype(feats.dtype),
                            preferred_element_type=jnp.float32))
-    d_w = jnp.stack(dws).astype(weight.dtype)
-    zero = lambda a: np.zeros(a.shape, jax.dtypes.float0)
-    return d_feats.astype(feats.dtype), d_w, zero(idx), zero(bwd_idx)
+    return d_feats, jnp.stack(dws)
 
 
 _gm.defvjp(_gm_fwd, _gm_bwd)
@@ -464,6 +648,29 @@ def apply_conv_plan(feats: jnp.ndarray, weight: jnp.ndarray, plan: ConvPlan,
             return _apply_windowed(feats, weight, plan)
 
     if not transposed:
+        # x-FACTORED apply: one gather per (dy, dz) group (the x-run taps
+        # are pre-combined densely — build_fact_index). Strictly fewer
+        # descriptors than both the per-tap scan (3x) and the
+        # full-window form, so it takes precedence when the plan has it.
+        if plan.fact_idx is not None and FACTORED_APPLY != "0":
+            bwd_idx = None
+            if CUSTOM_VJP:
+                if plan.mirror is not None:
+                    bwd_idx = plan.in_idx[jnp.asarray(plan.mirror)]
+                elif plan.inv_idx is not None:
+                    bwd_idx = plan.inv_idx
+            if bwd_idx is not None:
+                fn = _gm_fact_factory(plan.groups, plan.self_group)
+                return coordlib.checkpoint_name(
+                    fn(feats, weight, plan.fact_idx, plan.fact_adj,
+                       bwd_idx), CONV_OUT_TAG)
+            # no inverse map (det inference keeps EAGER_INVERT off):
+            # plain impl — AD through it would scatter, but inference
+            # never differentiates
+            return coordlib.checkpoint_name(
+                _fact_apply_impl(feats, weight, plan.fact_idx,
+                                 plan.fact_adj, plan.groups,
+                                 plan.self_group), CONV_OUT_TAG)
         # Full-window-per-descriptor apply: when a whole G-row window fits
         # one 256 B gather (narrow channels — det's 16/32-ch levels), one
         # descriptor serves G taps. Distinct from the measured-negative
@@ -584,7 +791,8 @@ def conv3d(x: SparseTensor,
                                    in_capacity=x.capacity,
                                    quantum=x.stride[0] * dilation[0],
                                    in_sorted=x.coords_sorted,
-                                   out_sorted=out_sorted, table=table)
+                                   out_sorted=out_sorted, table=table,
+                                   x_lattice=x.stride[0])
             if strided and plan.mirror is None:
                 # eager inverse map: the U-Net's matching deconv needs it
                 # anyway (net-zero there), and the custom-vjp backward of

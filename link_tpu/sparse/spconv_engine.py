@@ -166,11 +166,23 @@ def build_spconv_plan(in_coords: jnp.ndarray, out_coords: jnp.ndarray,
                 self_gi = next(
                     (gi for gi, ((ox0, oy, oz), _) in enumerate(glist)
                      if oy == 0 and oz == 0 and ox0 in (0, -1)), None)
+        fact_idx = fact_adj = None
+        from .conv import FACTORED_APPLY
+        if (FACTORED_APPLY != "0"
+                and base_pos is not None and groups is not None
+                and all(len(t) <= 3 for t in groups)
+                and any(len(t) >= 2 for t in groups)):
+            # spconv levels are unit lattices (per-level grid indices), so
+            # the x-factored apply's adjacency argument holds with q == 1
+            from .conv import build_fact_index
+            fact_idx, fact_adj = build_fact_index(
+                in_idx, groups, table.rows, 1, in_capacity)
         return ConvPlan(in_idx=in_idx, out_coords=out_coords,
                         out_nnz=out_nnz, in_capacity=in_capacity,
                         out_capacity=out_coords.shape[0],
                         base_pos=base_pos, slot=slot, groups=groups,
-                        self_group=self_gi)
+                        self_group=self_gi, fact_idx=fact_idx,
+                        fact_adj=fact_adj)
     base = out_coords[None, :, :3] * jnp.asarray(s)[None, None, :]
     q = base + jnp.asarray(eff_offs)[:, None, :]
     qb = jnp.broadcast_to(out_coords[None, :, 3:],

@@ -68,6 +68,19 @@ class ConvPlan:
     # neighbor i at +off iff i has j at -off), so the conv backward
     # w.r.t. features runs as mirrored-tap GATHERS instead of the
     # scatter-adds AD would emit (conv._gm custom_vjp).
+    fact_idx: Any = None       # (Gg, M_out) int32 | None — x-FACTORED
+    # apply index (conv._fact_apply_impl): one gather per (dy, dz) group
+    # into the per-group case array F = [Ybar | E | C | zero-row]
+    # (sections of N rows each): the three x-taps are pre-combined by
+    # dense MXU matmuls + masked row shifts (sorted-key x-adjacency), so
+    # the apply issues 1 descriptor/group instead of 3 — gathers are the
+    # measured per-ROW wall (PLAN.md). 3N+... section offsets: center
+    # hit -> Ybar row; else left cell hit -> E row (+N); else right cell
+    # hit -> C row (+2N); else the zero row (3N).
+    fact_adj: Any = None       # (3, N_in) bool | None — static adjacency
+    # masks over the (pack-key-sorted) input rows: [0] row i-1 is the
+    # x-q cell of row i; [1] row i+1 is the x+q cell; [2] row i+1 is the
+    # x+2q cell (the "center missing, both sides present" case).
 
     @property
     def window(self) -> int:
