@@ -29,6 +29,12 @@ def main():
                     help="skip the TSELK golden (needs the torchsparse-u "
                          "CPU build at --tsu); the dense RPN+CenterHead "
                          "golden is pure torch")
+    ap.add_argument("--fullscale", action="store_true",
+                    help="ALSO generate tselk_cos_fullscale.npz: the "
+                         "reference TSELKBlock on a production-scale "
+                         "~160k-voxel nuScenes-shaped frame (the bench.py "
+                         "det input distribution, r=3 block_sz=7) — the "
+                         "det half of the scan-scale parity pins")
     args = ap.parse_args()
     if args.dense_only:
         make_dense_golden(args)
@@ -105,6 +111,37 @@ def main():
         block_sz=args.block_sz, inc=args.inc, **{
             "sd_" + k.replace(".", "__"): v for k, v in sd.items()})
     print(f"TSELK golden: {len(coords)} voxels, out {tuple(out.F.shape)}")
+
+    if args.fullscale:
+        # Production-scale frame: the exact bench.py det voxel
+        # distribution (SyntheticNuScenes val, 160k-voxel cap on the
+        # 1440x1440x41 grid), fed to the SAME reference block. This is
+        # where the det joins run at real spans and the aux grid at its
+        # real ~7x210x210 extent.
+        sys.path.insert(0, REPO)
+        from link_tpu.data.nuscenes import SyntheticNuScenes
+        ds = SyntheticNuScenes(length=1, mode="val", seed=0,
+                               max_voxels=160000)
+        zyx = ds[0]["coords_zyx"]
+        coords = np.concatenate(
+            [zyx[:, ::-1], np.zeros((len(zyx), 1), np.int32)],
+            axis=1).astype(np.int32)
+        feats = np.random.default_rng(3).standard_normal(
+            (len(coords), args.inc)).astype(np.float32)
+        st = SparseTensor(torch.from_numpy(feats),
+                          torch.from_numpy(coords))
+        import time
+        t0 = time.perf_counter()
+        with torch.no_grad():
+            out = blk.forward_(st, args.block_sz)
+        print(f"fullscale reference forward: "
+              f"{time.perf_counter() - t0:.1f}s")
+        np.savez_compressed(
+            os.path.join(args.out, "tselk_cos_fullscale.npz"),
+            coords=coords, feats=feats, out=out.F.detach().numpy(),
+            block_sz=args.block_sz, inc=args.inc, **{
+                "sd_" + k.replace(".", "__"): v for k, v in sd.items()})
+        print(f"fullscale TSELK golden: {len(coords)} voxels")
 
     make_dense_golden(args)
 
