@@ -27,6 +27,11 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 
 import numpy as np
 
+# Measured anchor under this estimate: tools/bench_reference.py runs the
+# actual torch reference on CPU over these exact scans (0.163 scans/s,
+# 1 thread) => the 10 scans/s GPU figure assumes ~61x CPU->GPU, in family
+# for a 3090 on a gather+GEMM workload. Details: BASELINE.md "Measured
+# CPU anchor".
 REFERENCE_SCANS_PER_SEC = 10.0
 # Reference det throughput estimate: CenterPoint-0.075voxel runs ~11 FPS
 # on the reference's RTX-3090-class GPU; LinK's ELKv3 backbone adds the
@@ -55,9 +60,22 @@ def bench_det(jax, jnp):
     # int32 join tables, so halving feature bytes buys nothing. The seg
     # model (64-256 ch) does benefit; VoxelNet(dtype=) exists for parity
     # with AMP configs, not for speed on this chip.
+    # Hybrid dense backbone (scn.py dense_from_level): levels >= L run
+    # masked dense convs on the MXU. Measured on the v5e at the 160k cap:
+    # dense-from-2 f32 2.34 fps / dense-from-1 f32 1.05 fps vs fully
+    # sparse 2.93 — the sparse cost is concentrated at levels 0-1 (row
+    # counts halve per level), so converting levels >=2 removes only
+    # ~45 ms of sparse work while adding ~95 ms of f32 dense convs.
+    # Default stays fully sparse; BENCH_DENSE_FROM=L for A/B.
+    dense_env = os.environ.get("BENCH_DENSE_FROM", "")
+    dense_from = int(dense_env) if dense_env else None
+    det_dtype = os.environ.get("BENCH_DET_DTYPE",
+                               "bfloat16" if dense_from is not None
+                               else "float32")
     model = VoxelNet(num_input_features=5, batch_size=1,
                      grid_shape=(1440, 1440, 40),
-                     capacities=(cap, cap // 2, cap // 4, cap // 8))
+                     capacities=(cap, cap // 2, cap // 4, cap // 8),
+                     dense_from_level=dense_from, dtype=det_dtype)
     num_classes = [len(t) for t in model.tasks]
     b0 = batches[0]
     variables = jax.jit(model.init, static_argnums=5)(

@@ -23,7 +23,10 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..nn.modules import SparseBatchNorm, SparseConv3d
-from ..sparse.spconv_engine import spconv3d, to_dense_bev
+from ..sparse.dense_grid import (DenseGrid, dense_spconv, dense_to_bev,
+                                 to_dense_grid)
+from ..sparse.spconv_engine import (spconv3d, spconv_out_shape,
+                                    to_dense_bev)
 from ..sparse.tensor import SparseTensor, make_sparse_tensor
 from .elk import ELKBlock
 
@@ -44,16 +47,22 @@ class SpConvDown(nn.Module):
     batch_size: Optional[int] = None   # static; enables dense-grid dedup
 
     @nn.compact
-    def __call__(self, x: SparseTensor, in_shape, train: bool = False):
+    def __call__(self, x, in_shape, train: bool = False):
         import numpy as np
         from ..nn.modules import _conv_kernel_init
         kv = int(np.prod(self.kernel_size))
         std = 1.0 / (self.inc * kv) ** 0.5
         w = self.param("kernel", _conv_kernel_init(std), (kv, self.inc, self.outc))
-        y, out_shape = spconv3d(x, w, self.kernel_size, in_shape,
-                                stride=self.stride, padding=self.padding,
-                                out_capacity=self.out_capacity,
-                                batch_size=self.batch_size)
+        if isinstance(x, DenseGrid):
+            y = dense_spconv(x, w, self.kernel_size, self.stride,
+                             self.padding)
+            out_shape = spconv_out_shape(in_shape, self.kernel_size,
+                                         self.stride, self.padding)
+        else:
+            y, out_shape = spconv3d(x, w, self.kernel_size, in_shape,
+                                    stride=self.stride, padding=self.padding,
+                                    out_capacity=self.out_capacity,
+                                    batch_size=self.batch_size)
         y = SparseBatchNorm(self.outc, axis_name=self.bn_axis,
                             **DET_NORM)(y, train)
         return y.replace(feats=jax.nn.relu(y.feats)), out_shape
@@ -95,6 +104,14 @@ class SpMiddleResNetFHDELKv3(nn.Module):
     # halves every feature-row gather's bytes and the MXU time — the
     # sparse modules follow feats.dtype, same discipline as the seg stack
     dtype: str = "float32"
+    # Hybrid sparse->dense execution: levels >= this index run on a
+    # masked DENSE grid (sparse/dense_grid.py — exact spconv semantics,
+    # MXU-bound instead of gather-descriptor-bound), INCLUDING that
+    # level's strided down (the conversion scatters the level-(L-1)
+    # rows, so the down skips the sparse 27N-candidate dedup). None =
+    # fully sparse. Occupancy at the 160k-voxel nuScenes caps:
+    # lvl1 0.75%, lvl2 2.9%, lvl3 13%.
+    dense_from_level: Optional[int] = None
 
     @nn.compact
     def __call__(self, voxel_features: jnp.ndarray, coords: jnp.ndarray,
@@ -125,6 +142,15 @@ class SpMiddleResNetFHDELKv3(nn.Module):
                                        out_capacity=caps[lvl], bn_axis=ax,
                                        batch_size=self.batch_size,
                                        name=f"down{lvl+1}")(st, shape, train)
+            # the dense conversion happens AFTER level L's strided down, on
+            # the level-L grid (8x fewer cells than the pre-down grid —
+            # converting before the down measured WORSE, 2.18 vs 2.38 fps:
+            # the 10.9M-cell level-1 grid materialization costs more than
+            # the ~20 ms sparse 27N-candidate dedup it saves)
+            if (self.dense_from_level is not None
+                    and lvl >= self.dense_from_level
+                    and isinstance(st, SparseTensor)):
+                st = to_dense_grid(st, shape, self.batch_size)
             y = SparseBasicBlock(c, bn_axis=ax, name=f"conv{lvl+1}_0")(st, train)
             y = SparseBasicBlock(c, bn_axis=ax, name=f"conv{lvl+1}_1")(y, train)
             if self.elk:
@@ -150,14 +176,21 @@ class SpMiddleResNetFHDELKv3(nn.Module):
         std = 1.0 / (planes[3] * 3) ** 0.5
         w = self.param("extra_conv_kernel", _conv_kernel_init(std),
                        (3, planes[3], planes[3]))
-        st, shape = spconv3d(st, w, (1, 1, 3), shape, stride=(1, 1, 2),
-                             padding=(0, 0, 0), out_capacity=caps[3],
-                             batch_size=self.batch_size)
+        if isinstance(st, DenseGrid):
+            st = dense_spconv(st, w, (1, 1, 3), (1, 1, 2), (0, 0, 0))
+            shape = spconv_out_shape(shape, (1, 1, 3), (1, 1, 2), (0, 0, 0))
+        else:
+            st, shape = spconv3d(st, w, (1, 1, 3), shape, stride=(1, 1, 2),
+                                 padding=(0, 0, 0), out_capacity=caps[3],
+                                 batch_size=self.batch_size)
         st = SparseBatchNorm(planes[3], axis_name=ax, name="extra_conv_bn",
                              **DET_NORM)(st, train)
         st = st.replace(feats=jax.nn.relu(st.feats))
 
-        bev = to_dense_bev(st, shape, self.batch_size)
+        if isinstance(st, DenseGrid):
+            bev = dense_to_bev(st)
+        else:
+            bev = to_dense_bev(st, shape, self.batch_size)
         return bev, multi_scale
 
 

@@ -41,6 +41,10 @@ class VoxelNet(nn.Module):
     # forward_two_stage parity (detectors/voxelnet.py:74-92): also return
     # the neck output as the second-stage BEV feature map
     return_bev: bool = False
+    # hybrid sparse->dense backbone (scn.py dense_from_level): levels >=
+    # this index run masked dense convs on the MXU instead of the
+    # descriptor-bound sparse path; None = fully sparse
+    dense_from_level: Optional[int] = None
 
     @nn.compact
     def __call__(self, voxels: jnp.ndarray, coords: jnp.ndarray,
@@ -50,7 +54,8 @@ class VoxelNet(nn.Module):
         bev, _ = SpMiddleResNetFHDELKv3(
             num_input_features=self.num_input_features, elk=self.elk,
             capacities=self.capacities, batch_size=self.batch_size,
-            bn_axis=self.bn_axis, dtype=self.dtype, name="backbone")(
+            bn_axis=self.bn_axis, dtype=self.dtype,
+            dense_from_level=self.dense_from_level, name="backbone")(
                 feats, coords, nnz, self.grid_shape, train)
         x = RPN(bn_axis=self.bn_axis, dtype=self.dtype, name="neck")(
             bev, train)

@@ -21,6 +21,7 @@ from flax import linen as nn
 
 from ..sparse import coords as coordlib
 from ..sparse import conv as spconv
+from ..sparse.dense_grid import DenseGrid, dense_subm_conv
 from ..sparse.tensor import SparseTensor
 
 
@@ -58,6 +59,13 @@ class SparseConv3d(nn.Module):
         kernel = self.param("kernel", _conv_kernel_init(std), shape)
         bias = (self.param("bias", _conv_kernel_init(std), (self.out_channels,))
                 if self.use_bias else None)
+        if isinstance(st, DenseGrid):
+            # dense-grid execution of the SAME params (exact submanifold
+            # semantics; sparse/dense_grid.py) — the det backbone's
+            # high-occupancy levels run here
+            assert not self.transposed and self.dilation == 1 \
+                and coordlib.make_ntuple(self.stride) == (1, 1, 1)
+            return dense_subm_conv(st, kernel, ks, bias)
         return spconv.conv3d(st, kernel, kernel_size=ks, bias=bias,
                              stride=self.stride, dilation=self.dilation,
                              transposed=self.transposed,
@@ -86,11 +94,18 @@ class SparseBatchNorm(nn.Module):
 
         feats = st.feats
         if train:
-            mask = st.valid_mask().astype(jnp.float32)[:, None]
+            if isinstance(st, DenseGrid):
+                # dense grid: stats over OCCUPIED cells only — identical
+                # to the sparse valid-row stats (each occupied cell is
+                # exactly one voxel row)
+                mask = st.mask[..., None].astype(jnp.float32)
+            else:
+                mask = st.valid_mask().astype(jnp.float32)[:, None]
             f32 = feats.astype(jnp.float32)
+            red = tuple(range(f32.ndim - 1))
             n = jnp.sum(mask)
-            s1 = jnp.sum(f32 * mask, axis=0)
-            s2 = jnp.sum(jnp.square(f32) * mask, axis=0)
+            s1 = jnp.sum(f32 * mask, axis=red)
+            s2 = jnp.sum(jnp.square(f32) * mask, axis=red)
             if self.axis_name is not None:
                 n = jax.lax.psum(n, self.axis_name)
                 s1 = jax.lax.psum(s1, self.axis_name)
@@ -107,6 +122,9 @@ class SparseBatchNorm(nn.Module):
 
         inv = jax.lax.rsqrt(var + self.eps) * scale
         out = (feats.astype(jnp.float32) - mean) * inv + bias
+        if isinstance(st, DenseGrid):
+            # re-zero empty cells (the affine bias is nonzero there)
+            return st.masked(out.astype(feats.dtype))
         return st.replace(feats=out.astype(feats.dtype))
 
 

@@ -60,6 +60,9 @@ def main():
     ap.add_argument("--dcn-head", action="store_true",
                     help="DCNSepHead (deformable feature adaption) instead "
                          "of SepHead (reference bbox_head.dcn_head)")
+    ap.add_argument("--dense-from-level", type=int, default=None,
+                    help="hybrid dense backbone: levels >= L run masked "
+                         "dense convs on the MXU (scn.py dense_from_level)")
     ap.add_argument("--dtype", default="float32",
                     choices=("float32", "bfloat16"),
                     help="model compute dtype (box decode stays f32); "
@@ -130,7 +133,8 @@ def main():
                      grid_shape=grid,
                      capacities=(cap, cap // 2, cap // 4, cap // 8),
                      return_bev=args.two_stage, dcn_head=dcn,
-                     dtype=args.dtype)
+                     dtype=args.dtype,
+                     dense_from_level=args.dense_from_level)
     num_classes = [len(t) for t in model.tasks]
 
     def batch_samples(s):

@@ -43,6 +43,9 @@ def main():
                          "(or set JAX_COORDINATOR_ADDRESS); reference "
                          "equivalent: NCCL env:// init, tools/train.py:87")
     ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--dense-from-level", type=int, default=None,
+                    help="hybrid dense backbone: levels >= L run masked "
+                         "dense convs on the MXU (scn.py dense_from_level)")
     ap.add_argument("--process-id", type=int, default=None)
     args = ap.parse_args()
 
@@ -107,7 +110,8 @@ def main():
     model = VoxelNet(num_input_features=5, batch_size=spd, grid_shape=grid,
                      capacities=tuple(
                          max(1024, cap // f) for f in (1, 2, 4, 8)),
-                     dcn_head=dcn)
+                     dcn_head=dcn,
+                     dense_from_level=args.dense_from_level)
 
     total_steps = args.epochs * max(1, len(train_ds) // (ndev * spd))
     lr_fn, mom_fn = schedules.one_cycle(lr_max, total_steps, moms=moms,

@@ -80,6 +80,10 @@ def main():
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--iters", type=int, default=2)
     ap.add_argument("--trace-dir", default="/tmp/jax-trace")
+    ap.add_argument("--dense-from", type=int, default=None,
+                    help="det hybrid dense backbone level")
+    ap.add_argument("--dtype", default=None,
+                    help="det model compute dtype override")
     args = ap.parse_args()
 
     import jax
@@ -104,7 +108,9 @@ def main():
         batches = [dp.collate_det([ds[i]], cap) for i in range(2)]
         model = VoxelNet(num_input_features=5, batch_size=1,
                          grid_shape=(1440, 1440, 40),
-                         capacities=(cap, cap // 2, cap // 4, cap // 8))
+                         capacities=(cap, cap // 2, cap // 4, cap // 8),
+                         dense_from_level=args.dense_from,
+                         dtype=args.dtype or "float32")
         b0 = batches[0]
         variables = jax.jit(model.init, static_argnums=5)(
             jax.random.PRNGKey(0), jnp.asarray(b0["voxels"]),
@@ -159,7 +165,9 @@ def main():
         batches = [dp.collate_det([ds[i]], cap) for i in range(2)]
         model = VoxelNet(num_input_features=5, batch_size=1,
                          grid_shape=(1440, 1440, 40),
-                         capacities=(cap, cap // 2, cap // 4, cap // 8))
+                         capacities=(cap, cap // 2, cap // 4, cap // 8),
+                         dense_from_level=args.dense_from,
+                         dtype=args.dtype or "float32")
         num_classes = [len(t) for t in model.tasks]
         b0 = batches[0]
         variables = jax.jit(model.init, static_argnums=5)(
