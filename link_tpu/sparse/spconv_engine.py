@@ -19,6 +19,7 @@ t is i = j*s - p + t.
 
 from __future__ import annotations
 
+import os
 from itertools import product
 from typing import Optional, Tuple, Union
 
@@ -54,21 +55,82 @@ def _tap_offsets(kernel_size) -> np.ndarray:
 # dense-occupancy dedup is used when batch * out_cells fits this budget
 # (int8 occupancy + int32 cumsum ~ 5 B/cell transient)
 DENSE_UNIQUE_MAX_CELLS = 48_000_000
+# the max-pool form additionally scatters into the INPUT grid (int8/cell)
+DENSE_POOL_MAX_CELLS = 192_000_000
+
+
+def _pool_downsample(coords, kernel_size, stride, padding, in_shape,
+                     out_shape, out_capacity: int, batch_size: int):
+    """Output-coordinate dedup as a strided max-pool over the INPUT
+    occupancy grid. An output cell j is occupied iff some input i lies in
+    its kernel window (0 <= i + p - j*s < ks per axis) — exactly a
+    reduce_window-max with window ks, stride s, padding p. vs the
+    candidate form below this scatters N rows instead of ~(ks/s)^3*N and
+    compacts via searchsorted on the cumsum instead of a second big
+    scatter (round-4 det profile: the candidate scatters were ~42 ms of
+    the 60 ms dedup slice)."""
+    ks = np.asarray(kernel_size)
+    st = np.asarray(stride)
+    pd = np.asarray(padding)
+    inx, iny, inz = (int(v) for v in np.asarray(in_shape))
+    nx, ny, nz = (int(v) for v in np.asarray(out_shape))
+    in_cells = batch_size * inx * iny * inz
+    ix, iy, iz, ib = coords[:, 0], coords[:, 1], coords[:, 2], coords[:, 3]
+    valid = (ix > coordlib.INVALID_COORD) & (ib >= 0) & (ib < batch_size)
+    lin_in = ((ib * inz + iz) * iny + iy) * inx + ix
+    lin_in = jnp.where(valid, lin_in, in_cells)
+    occ_in = jnp.zeros((in_cells + 1,), jnp.int8).at[lin_in].max(jnp.int8(1))
+    grid = occ_in[:in_cells].reshape(batch_size, inz, iny, inx)
+    out_occ = jax.lax.reduce_window(
+        grid, jnp.int8(0), jax.lax.max,
+        window_dimensions=(1, int(ks[2]), int(ks[1]), int(ks[0])),
+        window_strides=(1, int(st[2]), int(st[1]), int(st[0])),
+        padding=((0, 0), (int(pd[2]), int(pd[2])),
+                 (int(pd[1]), int(pd[1])), (int(pd[0]), int(pd[0]))))
+    assert out_occ.shape == (batch_size, nz, ny, nx), (
+        out_occ.shape, (batch_size, nz, ny, nx))
+    csum = jnp.cumsum(out_occ.reshape(-1), dtype=jnp.int32)  # pack-key order
+    total = csum[-1]
+    targets = jnp.arange(1, out_capacity + 1, dtype=jnp.int32)
+    pos = jnp.searchsorted(csum, targets, side="left",
+                           method="scan_unrolled").astype(jnp.int32)
+    found = targets <= total
+    ox = pos % nx
+    t = pos // nx
+    oy = t % ny
+    t = t // ny
+    oz = t % nz
+    ob = t // nz
+    out_coords = jnp.where(
+        found[:, None], jnp.stack([ox, oy, oz, ob], axis=1),
+        jnp.int32(coordlib.INVALID_COORD)).astype(jnp.int32)
+    out_nnz = jnp.minimum(total, out_capacity)
+    return coordlib.checkpoint_name(out_coords, coordlib.PLAN_TAG), out_nnz
 
 
 def spconv_downsample(coords: jnp.ndarray, kernel_size, stride, padding,
                       out_shape, out_capacity: int,
-                      batch_size: int = None):
+                      batch_size: int = None, in_shape=None):
     """Enumerate the spconv output coordinate set: all j reachable from any
     input voxel through any tap, clipped to out_shape. Returns
     (out_coords, out_nnz), rows in pack-key (b, z, y, x) order.
 
-    With a known static `batch_size`, dedup runs on a dense occupancy
-    grid over the (static) output shape — scatter 1s, cumsum for slot
-    ids, scatter-compact — instead of sorting the ~8N candidate rows
-    (round-2 det profile: the unique sort was 35 ms/fwd). Cumsum order
-    over (b, z, y, x)-major cells IS pack-key order, so the output is
-    sorted by construction."""
+    With a known static `batch_size`, dedup runs dense: preferably the
+    max-pool form over the input grid (`_pool_downsample`, needs
+    `in_shape`), else an occupancy grid over the (static) output shape —
+    scatter 1s, cumsum for slot ids, scatter-compact — instead of sorting
+    the ~8N candidate rows (round-2 det profile: the unique sort was
+    35 ms/fwd). Cumsum order over (b, z, y, x)-major cells IS pack-key
+    order, so the output is sorted by construction. `DET_DEDUP` in
+    {pool, occ, sort} forces a path for A/B."""
+    force = os.environ.get("DET_DEDUP", "")
+    if batch_size and in_shape is not None and force != "occ":
+        in_cells = batch_size * int(np.prod(np.asarray(in_shape)))
+        if force == "pool" or (force != "sort"
+                               and in_cells <= DENSE_POOL_MAX_CELLS):
+            return _pool_downsample(coords, kernel_size, stride, padding,
+                                    in_shape, out_shape, out_capacity,
+                                    batch_size)
     s = jnp.asarray(stride, jnp.int32)
     p = jnp.asarray(padding, jnp.int32)
     ks_np = np.asarray(kernel_size)
@@ -214,7 +276,8 @@ def spconv3d(x: SparseTensor, weight: jnp.ndarray,
     if plan is None:
         out_coords, out_nnz = spconv_downsample(x.coords, ks, st, pd,
                                                 out_shape, cap,
-                                                batch_size=batch_size)
+                                                batch_size=batch_size,
+                                                in_shape=in_shape)
         # share the level's key table with the SubM convs (conv3d caches
         # it under the same key)
         tkey = ("table", x.stride)

@@ -95,6 +95,30 @@ class TestSpconvEngine:
             assert int(nnz_s) == int(nnz_d)
             np.testing.assert_array_equal(np.asarray(co_s),
                                           np.asarray(co_d))
+            # max-pool form over the input grid (in_shape enables it)
+            co_p, nnz_p = spe.spconv_downsample(*args, batch_size=batch,
+                                                in_shape=(40, 40, 11))
+            assert int(nnz_s) == int(nnz_p)
+            np.testing.assert_array_equal(np.asarray(co_s),
+                                          np.asarray(co_p))
+
+    def test_pool_downsample_capacity_overflow(self):
+        """Overflowing out_capacity keeps the FIRST cap cells in pack
+        order and pads the rest with INVALID (matching the occupancy
+        path's drop semantics)."""
+        rng = np.random.default_rng(7)
+        n = 400
+        c = np.stack([rng.integers(0, 40, n), rng.integers(0, 40, n),
+                      rng.integers(0, 11, n),
+                      np.zeros(n)], 1).astype(np.int32)
+        cap = 64
+        args = (jnp.asarray(c), (3, 3, 3), (2, 2, 2), (1, 1, 1),
+                (20, 20, 6), cap)
+        co_s, nnz_s = spe.spconv_downsample(*args)
+        co_p, nnz_p = spe.spconv_downsample(*args, batch_size=1,
+                                            in_shape=(40, 40, 11))
+        assert int(nnz_s) == int(nnz_p) == cap
+        np.testing.assert_array_equal(np.asarray(co_s), np.asarray(co_p))
 
     def test_dense_bev_layout(self):
         coords = np.array([[1, 2, 0, 0], [0, 0, 1, 1]], np.int32)
