@@ -161,3 +161,90 @@ def test_waymo_submission_json(tmp_path):
     assert e["heading"] == pytest.approx(0.3)
     assert e["length"] == pytest.approx(4.0)
     assert e["width"] == pytest.approx(2.0)
+
+
+def test_waymo_decode_tfrecords(tmp_path, monkeypatch):
+    """Execute the full converter chain — TFRecord (real wire framing)
+    -> decode -> infos -> gt database — against the fabricated toolkit
+    (tests/fake_waymo.py), with geometry pinned: sweep transform
+    matrices against hand-computed pose algebra and box velocities
+    against the vehicle-frame rotation (reference waymo_decoder.py,
+    waymo_common.py:_fill_infos)."""
+    import fake_waymo
+    fake_waymo.install(monkeypatch)
+    import create_data_waymo as CW
+
+    records = str(tmp_path / "records")
+    root = str(tmp_path / "Waymo")
+    poses = fake_waymo.build_world(records)
+
+    class A:
+        pass
+
+    a = A()
+    a.records = os.path.join(records, "*.tfrecord")
+    a.out, a.split = root, "train"
+    CW.decode(a)
+
+    lidar_dir = os.path.join(root, "train", "lidar")
+    assert sorted(os.listdir(lidar_dir)) == sorted(
+        f"seq_{s}_frame_{f}.pkl" for s in range(2) for f in range(3))
+    with open(os.path.join(lidar_dir, "seq_0_frame_1.pkl"), "rb") as f:
+        fr = pickle.load(f)
+    assert fr["lidars"]["points_xyz"].shape == (430, 3)
+    assert fr["lidars"]["points_feature"].shape == (430, 2)
+    np.testing.assert_allclose(
+        np.asarray(fr["veh_to_global"]).reshape(4, 4), poses[(0, 1)])
+
+    # annos: velocity rotated into the vehicle frame by the pose yaw
+    with open(os.path.join(root, "train", "annos",
+                           "seq_0_frame_1.pkl"), "rb") as f:
+        an = pickle.load(f)
+    yaw = 0.1
+    c, s = np.cos(yaw), np.sin(yaw)
+    want_v = np.array([[c, s], [-s, c]]) @ np.array([3.0, 1.0])
+    np.testing.assert_allclose(an["objects"][0]["box"][6:8], want_v,
+                               rtol=1e-6)
+
+    a2 = A()
+    a2.root, a2.split, a2.nsweeps = root, "train", 2
+    CW.fill_infos(a2)
+    info_path = os.path.join(root, "infos_train_02sweeps.pkl")
+    with open(info_path, "rb") as f:
+        infos = pickle.load(f)
+    assert len(infos) == 6
+    by_token = {i["token"]: i for i in infos}
+
+    # sweep transform: a global point seen from frame 0 must land at its
+    # frame-1 vehicle coordinates after transform_matrix
+    info1 = by_token["seq_0_frame_1.pkl"]
+    tm = info1["sweeps"][0]["transform_matrix"]
+    g = np.array([3.0, -2.0, 1.0, 1.0])
+    p_cur = np.linalg.inv(poses[(0, 0)]) @ g
+    p_ref = np.linalg.inv(poses[(0, 1)]) @ g
+    np.testing.assert_allclose(tm @ p_cur, p_ref, atol=1e-9)
+    assert info1["sweeps"][0]["time_lag"] == pytest.approx(1.0)
+
+    # det3d box convention + the num_pts==0 pedestrian dropped
+    assert list(info1["gt_names"]) == ["VEHICLE"]
+    b = info1["gt_boxes"][0]
+    np.testing.assert_allclose(b[3:5], [1.9, 4.2], rtol=1e-6)  # w, l swap
+    assert b[8] == pytest.approx(-np.pi / 2 - 0.25)
+
+    # frame 0 has no previous frame: sweep falls back to the keyframe
+    info0 = by_token["seq_0_frame_0.pkl"]
+    assert info0["sweeps"][0]["transform_matrix"] is None
+
+    a3 = A()
+    a3.root, a3.split, a3.nsweeps = root, "train", 2
+    CW.gt_db(a3)
+    with open(os.path.join(root, "dbinfos_train.pkl"), "rb") as f:
+        db = pickle.load(f)
+    assert "VEHICLE" in db and len(db["VEHICLE"]) == 6
+    rec = db["VEHICLE"][0]
+    pts = np.fromfile(os.path.join(root, rec["path"]),
+                      np.float32).reshape(-1, 5)
+    assert rec["num_points_in_gt"] == len(pts) > 0
+    # stored box-centered: cropped cluster stays inside the box extents
+    assert (np.abs(pts[:, 0]) <= 4.2 / 2 + 1e-5).all()
+    assert (np.abs(pts[:, 1]) <= 1.9 / 2 + 1e-5).all()
