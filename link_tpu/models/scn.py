@@ -25,8 +25,8 @@ from flax import linen as nn
 from ..nn.modules import SparseBatchNorm, SparseConv3d
 from ..sparse.dense_grid import (DenseGrid, dense_spconv, dense_to_bev,
                                  to_dense_grid)
-from ..sparse.spconv_engine import (spconv3d, spconv_out_shape,
-                                    to_dense_bev)
+from ..sparse.spconv_engine import (ensure_level_table, spconv3d,
+                                    spconv_out_shape, to_dense_bev)
 from ..sparse.tensor import SparseTensor, make_sparse_tensor
 from .elk import ELKBlock
 
@@ -126,6 +126,8 @@ class SpMiddleResNetFHDELKv3(nn.Module):
         voxel_features = voxel_features.astype(jnp.dtype(self.dtype))
         st = make_sparse_tensor(voxel_features, coords, nnz=nnz, stride=1,
                                 base_sorted=self.coords_sorted)
+        if self.coords_sorted:
+            ensure_level_table(st, shape, self.batch_size)
         st = SparseConv3d(self.num_input_features, planes[0], 3,
                           prefer_window=True, name="conv_input")(st)
         st = SparseBatchNorm(planes[0], axis_name=ax, name="conv_input_bn",
@@ -142,6 +144,8 @@ class SpMiddleResNetFHDELKv3(nn.Module):
                                        out_capacity=caps[lvl], bn_axis=ax,
                                        batch_size=self.batch_size,
                                        name=f"down{lvl+1}")(st, shape, train)
+                if isinstance(st, SparseTensor):
+                    ensure_level_table(st, shape, self.batch_size)
             # the dense conversion happens AFTER level L's strided down, on
             # the level-L grid (8x fewer cells than the pre-down grid —
             # converting before the down measured WORSE, 2.18 vs 2.38 fps:

@@ -65,7 +65,18 @@ def aux_to_voxel(aux: SparseTensor, x: SparseTensor, idx_query: jnp.ndarray,
     # here are wide (3C+1 channels, f32) so the window-form gather would
     # fall off the descriptor-rate plateau (see sparse/conv.py) — the sum
     # stays in per-tap gather form.
-    table = coordlib.build_table(aux.coords, assume_sorted=True)
+    # When the level carries a rank-grid (det backbone levels,
+    # spconv_engine.ensure_level_table), the aux lattice inherits it at
+    # ceil(extent / s): divided coords live on a unit grid, so the r^3
+    # window join collapses to one packed-cell gather per (dy, dz) group.
+    gs = None
+    ltab = x.kmaps.get(("table", x.stride))
+    if ltab is not None and getattr(ltab, "grid", None) is not None:
+        g = ltab.grid
+        s = aux.stride[0]
+        gs = (-(-g.nx // s), -(-g.ny // s), -(-g.nz // s), g.nb)
+    table = coordlib.build_table(aux.coords, assume_sorted=True,
+                                 grid_shape=gs)
     nb_idx, _, _ = coordlib.grouped_window_query(
         table, aux.coords, offsets, 1, queries_sorted=True,
         self_query=True)

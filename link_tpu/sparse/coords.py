@@ -342,6 +342,7 @@ class CoordTable:
 
     rows: jnp.ndarray                # (N, 8): [hi, lo, perm, pad...]
     direct: Any = None               # optional DirectIndex
+    grid: Any = None                 # optional RankGrid (dense levels)
 
     ROW_W = 8
 
@@ -386,7 +387,7 @@ class CoordTable:
 
 
 def build_table(coords: jnp.ndarray, assume_sorted: bool = False,
-                direct: bool = True) -> CoordTable:
+                direct: bool = True, grid_shape=None) -> CoordTable:
     """`assume_sorted=True` skips the sort (perm = identity) for coords
     already in pack-key order — the invariant the host collate functions
     and unique_coords/spdownsample maintain. Saves one full-key sort
@@ -394,7 +395,11 @@ def build_table(coords: jnp.ndarray, assume_sorted: bool = False,
 
     `direct=True` (default) additionally builds the direct-address index
     (DirectIndex) that turns every later join into 3 plateau-rate gathers
-    instead of a ~6-probe binary search."""
+    instead of a ~6-probe binary search.
+
+    `grid_shape=(nx, ny, nz, nb)` additionally builds the dense RankGrid
+    index (levels whose grid fits RANK_GRID_MAX_CELLS), which resolves a
+    whole (dy, dz) tap group with ONE 4-byte gather."""
     hi, lo = pack_coords(coords)
     n = coords.shape[0]
     perm = jnp.arange(n, dtype=jnp.int32)
@@ -403,8 +408,16 @@ def build_table(coords: jnp.ndarray, assume_sorted: bool = False,
     rows = jnp.zeros((n, CoordTable.ROW_W), jnp.int32)
     rows = rows.at[:, 0].set(hi).at[:, 1].set(lo).at[:, 2].set(perm)
     rows = checkpoint_name(rows, PLAN_TAG)
-    idx = build_direct_index(rows) if (direct and DIRECT_ENABLED) else None
-    return CoordTable(rows, direct=idx)
+    grid = None
+    if grid_shape is not None and RANK_GRID_ENABLED:
+        cells = int(np.prod(np.asarray(grid_shape, np.int64)))
+        if cells <= RANK_GRID_MAX_CELLS:
+            grid = build_rank_grid(coords, grid_shape)
+    # the grid serves every groupable join at the level, which leaves the
+    # DirectIndex unused — skip its (winlp + fence) builds then
+    idx = (build_direct_index(rows)
+           if (direct and DIRECT_ENABLED and grid is None) else None)
+    return CoordTable(rows, direct=idx, grid=grid)
 
 
 @struct.dataclass
@@ -555,6 +568,180 @@ def _direct_resolve(d: DirectIndex, block, q_hi, q_lo0,
     return res, slots, lb
 
 
+# --- dense rank-grid join (round 4). For levels whose (b, z, y, x) grid
+# fits the cell budget, the join collapses to ONE 4-byte gather per
+# (dy, dz) tap group: a dense int32 grid stores, per cell,
+#
+#     packed = (lower_bound(cell key) << 3) | occupancy(x, x+1, x+2)
+#
+# where lower_bound is the exclusive cumsum of cell occupancy in pack-key
+# (b, z, y, x)-major order — exactly the sorted-table position — and the
+# 3-bit mask is the x-run occupancy the quantum-run invariant needs: a
+# group's hits occupy consecutive table rows starting at the lower bound,
+# so tap t's row is lb + rank(t) with rank = popcount of lower mask bits.
+# vs the DirectIndex 3-gather pipeline this deletes both 2/3 of the join's
+# gather descriptors and ALL of its key-compare/reduce VPU work (the
+# round-4 det profile's largest slice, ~76 ms of a 309 ms forward).
+# Build cost: one N-row scatter + a cells-cumsum + elementwise packs —
+# bandwidth-bound, amortized over every conv at the level.
+import os as _os
+RANK_GRID_MAX_CELLS = int(_os.environ.get("RANK_GRID_MAX_CELLS",
+                                          96_000_000))
+RANK_GRID_ENABLED = _os.environ.get("RANK_GRID", "1") != "0"
+RANK_MARGIN = 4      # low-x anchor margin: covers group bases at
+#                      x0 = -pad (strided convs probe below the grid while
+#                      their x+1/x+2 taps are still in range)
+
+
+@struct.dataclass
+class RankGrid:
+    """Dense join index over a level grid (see block comment above).
+
+    `packed[cells]` is a zero sentinel row: out-of-grid anchors gather it
+    and decode to (lb=0, mask=0) = all-miss. Requires unique coords (every
+    level coordinate map is deduplicated) and positions < 2**28."""
+
+    packed: jnp.ndarray                        # (cells + 1,) int32
+    nx: int = struct.field(pytree_node=False)
+    ny: int = struct.field(pytree_node=False)
+    nz: int = struct.field(pytree_node=False)
+    nb: int = struct.field(pytree_node=False)
+
+
+def build_rank_grid(coords: jnp.ndarray, grid_shape) -> RankGrid:
+    """grid_shape = (nx, ny, nz, nb); coords (N, 4) = (x, y, z, b) int32,
+    unique, padding rows at INVALID_COORD. NOT checkpoint-tagged: the
+    query outputs are, so the backward never rebuilds it, and the grid
+    itself (4 B/cell) would dominate saved-residual memory."""
+    nx, ny, nz, nb = (int(v) for v in grid_shape)
+    nxm = nx + RANK_MARGIN
+    cells = nb * nz * ny * nxm
+    x, y, z, b = coords[:, 0], coords[:, 1], coords[:, 2], coords[:, 3]
+    valid = ((x >= 0) & (x < nx) & (y >= 0) & (y < ny)
+             & (z >= 0) & (z < nz) & (b >= 0) & (b < nb))
+    lin = ((b * nz + z) * ny + y) * nxm + (x + RANK_MARGIN)
+    lin = jnp.where(valid, lin, cells)
+    occ = jnp.zeros((cells + 1,), jnp.int8).at[lin].max(jnp.int8(1))
+    occ32 = occ[:cells].astype(jnp.int32)
+    lb = jnp.cumsum(occ32) - occ32                 # exclusive: lower bound
+    g = occ[:cells].reshape(-1, nxm)               # rows = (b, z, y) lines
+    zero1 = jnp.zeros((g.shape[0], 1), jnp.int8)
+    zero2 = jnp.zeros((g.shape[0], 2), jnp.int8)
+    g1 = jnp.concatenate([g[:, 1:], zero1], axis=1)
+    g2 = jnp.concatenate([g[:, 2:], zero2], axis=1)
+    mask = (g + 2 * g1 + 4 * g2).reshape(-1).astype(jnp.int32)
+    packed = jnp.concatenate(
+        [(lb << 3) | mask, jnp.zeros((1,), jnp.int32)])
+    return RankGrid(packed, nx=nx, ny=ny, nz=nz, nb=nb)
+
+
+def _grouped_query_rank(table: "CoordTable", glist, base_coords,
+                        identity_perm: bool, free_gi, k, m, q_hi):
+    """Rank-grid body of grouped_window_query: one packed-cell gather per
+    searched (dy, dz) group; the self-query center group keeps the
+    zero-gather shifted-compare path. Same return contract."""
+    grid = table.grid
+    nxm = grid.nx + RANK_MARGIN
+    cells = grid.nb * grid.nz * grid.ny * nxm
+    g = len(glist)
+    in_idx = [None] * k
+    slot = [None] * k if identity_perm else None
+    lb_list = [None] * g
+
+    if free_gi is not None:
+        _self_group_fill(table, glist, free_gi, q_hi[free_gi], 1, m,
+                         identity_perm, in_idx, slot, lb_list)
+
+    rest = [gi for gi in range(g) if gi != free_gi]
+    if rest:
+        bx = base_coords[:, 0]
+        by = base_coords[:, 1]
+        bz = base_coords[:, 2]
+        bb = base_coords[:, 3]
+        cx = jnp.stack([bx + glist[gi][0][0] for gi in rest])    # (G', M)
+        cy = jnp.stack([by + glist[gi][0][1] for gi in rest])
+        cz = jnp.stack([bz + glist[gi][0][2] for gi in rest])
+        valid = ((cx >= -RANK_MARGIN) & (cx < grid.nx)
+                 & (cy >= 0) & (cy < grid.ny)
+                 & (cz >= 0) & (cz < grid.nz)
+                 & (bb >= 0)[None] & (bb < grid.nb)[None])
+        lin = (((bb[None] * grid.nz + cz) * grid.ny + cy) * nxm
+               + cx + RANK_MARGIN)
+        lin = jnp.where(valid, lin, cells)
+        p = grid.packed[lin]                                     # (G', M)
+        lb = p >> 3
+        b0 = p & 1
+        b1 = (p >> 1) & 1
+        b2 = (p >> 2) & 1
+        ranks = (jnp.zeros_like(b0), b0, b0 + b1)
+        if identity_perm:
+            # pin padding/out-of-grid anchors to the last valid base (the
+            # one-hot Pallas kernel tiles windows by base spread; the XLA
+            # apply never consumes them — slots are -1)
+            last_valid = jnp.max(jnp.where(valid, lb, 0), axis=-1,
+                                 keepdims=True)
+            lb = jnp.where(valid, lb, last_valid)
+        for ci, gi in enumerate(rest):
+            (ox0, _, _), taps = glist[gi]
+            lb_list[gi] = lb[ci]
+            for ox, t in taps:
+                bit = ox - ox0                 # quantum == 1 on this path
+                hit = ((p[ci] >> bit) & 1) == 1
+                pos = lb[ci] + ranks[bit][ci]
+                if identity_perm:
+                    res = pos
+                else:
+                    res = table.rows[jnp.minimum(pos, table.rows.shape[0]
+                                                 - 1), 2]
+                in_idx[t] = jnp.where(hit, res, -1)
+                if identity_perm:
+                    slot[t] = jnp.where(hit, ranks[bit][ci],
+                                        -1).astype(jnp.int8)
+
+    in_idx = checkpoint_name(jnp.stack(in_idx), PLAN_TAG)
+    if identity_perm:
+        return (in_idx, checkpoint_name(jnp.stack(lb_list), PLAN_TAG),
+                checkpoint_name(jnp.stack(slot), PLAN_TAG))
+    return in_idx, None, None
+
+
+def _self_group_fill(table, glist, free_gi, q_hi_g, quantum, m,
+                     identity_perm, in_idx, slot, lb_list):
+    """Fill the self-query center group's taps via shifted-row key
+    compares — zero gather descriptors (factored from the direct path;
+    see _grouped_query_direct)."""
+    (ox0f, _, _), ftaps = glist[free_gi]
+    rows = table.rows
+    hi_r, lo_r, pm_r = rows[:, 0], rows[:, 1], rows[:, 2]
+    i_arr = jnp.arange(m, dtype=jnp.int32)
+    mx = jnp.full((1,), INT32_MAX, jnp.int32)
+    m1 = jnp.full((1,), -1, jnp.int32)
+    hi_prev = jnp.concatenate([mx, hi_r[:-1]])
+    lo_prev = jnp.concatenate([mx, lo_r[:-1]])
+    hi_next = jnp.concatenate([hi_r[1:], mx])
+    lo_next = jnp.concatenate([lo_r[1:], mx])
+    pm_prev = jnp.concatenate([m1, pm_r[:-1]])
+    pm_next = jnp.concatenate([pm_r[1:], m1])
+    gvalid = q_hi_g != INT32_MAX
+    hit_prev = gvalid & (hi_prev == hi_r) & (lo_prev == lo_r - quantum)
+    hit_next = gvalid & (hi_next == hi_r) & (lo_next == lo_r + quantum)
+    lb = jnp.where(hit_prev, i_arr - 1, i_arr) if ox0f == -quantum \
+        else i_arr
+    lb_list[free_gi] = lb
+    for ox, t in ftaps:
+        if ox == 0:
+            hit, pos, pm = gvalid, i_arr, pm_r
+        elif ox == -quantum:
+            hit, pos, pm = hit_prev, i_arr - 1, pm_prev
+        elif ox == quantum:
+            hit, pos, pm = hit_next, i_arr + 1, pm_next
+        else:
+            raise AssertionError("self-query group spans one x step")
+        in_idx[t] = jnp.where(hit, pm, -1)
+        if identity_perm:
+            slot[t] = jnp.where(hit, pos - lb, -1).astype(jnp.int8)
+
+
 def _grouped_query_direct(table: "CoordTable", glist, q_hi, q_lo,
                           quantum: int, identity_perm: bool, free_gi, k, m):
     """Direct-address body of grouped_window_query: one stacked
@@ -571,38 +758,8 @@ def _grouped_query_direct(table: "CoordTable", glist, q_hi, q_lo,
         # center (dy, dz) == (0, 0) group of a self-query join: targets are
         # the immediately adjacent table rows, so hits reduce to shifted
         # key compares along the table — no gathers at all.
-        (ox0f, _, _), ftaps = glist[free_gi]
-        rows = table.rows
-        hi_r, lo_r, pm_r = rows[:, 0], rows[:, 1], rows[:, 2]
-        i_arr = jnp.arange(m, dtype=jnp.int32)
-        mx = jnp.full((1,), INT32_MAX, jnp.int32)
-        m1 = jnp.full((1,), -1, jnp.int32)
-        hi_prev = jnp.concatenate([mx, hi_r[:-1]])
-        lo_prev = jnp.concatenate([mx, lo_r[:-1]])
-        hi_next = jnp.concatenate([hi_r[1:], mx])
-        lo_next = jnp.concatenate([lo_r[1:], mx])
-        # resolved ids go through the perm column like the search path's
-        # keysW window (rows may be a sorted view of unsorted coords)
-        pm_prev = jnp.concatenate([m1, pm_r[:-1]])
-        pm_next = jnp.concatenate([pm_r[1:], m1])
-        gvalid = q_hi[free_gi] != INT32_MAX
-        hit_prev = gvalid & (hi_prev == hi_r) & (lo_prev == lo_r - quantum)
-        hit_next = gvalid & (hi_next == hi_r) & (lo_next == lo_r + quantum)
-        lb = jnp.where(hit_prev, i_arr - 1, i_arr) if ox0f == -quantum \
-            else i_arr
-        lb_list[free_gi] = lb
-        for ox, t in ftaps:
-            if ox == 0:
-                hit, pos, pm = gvalid, i_arr, pm_r
-            elif ox == -quantum:
-                hit, pos, pm = hit_prev, i_arr - 1, pm_prev
-            elif ox == quantum:
-                hit, pos, pm = hit_next, i_arr + 1, pm_next
-            else:
-                raise AssertionError("self-query group spans one x step")
-            in_idx[t] = jnp.where(hit, pm, -1)
-            if identity_perm:
-                slot[t] = jnp.where(hit, pos - lb, -1).astype(jnp.int8)
+        _self_group_fill(table, glist, free_gi, q_hi[free_gi], quantum, m,
+                         identity_perm, in_idx, slot, lb_list)
 
     rest = [gi for gi in range(g) if gi != free_gi]
     # cluster groups with identical relative-offset patterns: each cluster
@@ -782,6 +939,13 @@ def grouped_window_query(table: "CoordTable", base_coords: jnp.ndarray,
             if oy == 0 and oz == 0 and ox0 in (0, -quantum):
                 free_gi = gi
                 break
+
+    # rank-grid path: the packed cell encodes x, x+1, x+2 occupancy, so it
+    # serves unit-lattice levels (quantum 1 — every det spconv level) with
+    # tap runs of <= 3
+    if table.grid is not None and quantum == 1 and gmax <= 3:
+        return _grouped_query_rank(table, glist, base_coords,
+                                   identity_perm, free_gi, k, m, q_hi)
 
     # winlp coverage: the group window must fit LB-block (<= W) plus the
     # tap run's row span (gmax - 1 on-lattice rows). Wider kernels fall

@@ -44,6 +44,23 @@ def spconv_out_shape(in_shape, kernel_size, stride, padding):
                  for a in range(3))
 
 
+def ensure_level_table(st: SparseTensor, in_shape, batch_size: int) -> None:
+    """Seed the level's shared key table WITH the dense rank-grid index
+    (coords.RankGrid) before any conv builds it without one. The det
+    backbone calls this at each level start: spconv levels are unit
+    lattices with static (x, y, z) extents, exactly the rank grid's
+    domain, and the grid turns every (dy, dz) group join at the level
+    into ONE 4-byte gather (vs the DirectIndex 3-gather + key-compare
+    pipeline). No-op when the grid exceeds coords.RANK_GRID_MAX_CELLS
+    (build_table falls back to DirectIndex-only) or the table exists."""
+    tkey = ("table", st.stride)
+    if tkey not in st.kmaps:
+        gs = (int(in_shape[0]), int(in_shape[1]), int(in_shape[2]),
+              int(batch_size))
+        st.kmaps[tkey] = coordlib.build_table(
+            st.coords, assume_sorted=st.is_sorted, grid_shape=gs)
+
+
 def _tap_offsets(kernel_size) -> np.ndarray:
     """(K, 3) tap indices t, x-major with z fastest."""
     return np.asarray(
@@ -283,8 +300,11 @@ def spconv3d(x: SparseTensor, weight: jnp.ndarray,
         tkey = ("table", x.stride)
         table = x.kmaps.get(tkey)
         if table is None:
+            gs = ((int(in_shape[0]), int(in_shape[1]), int(in_shape[2]),
+                   int(batch_size)) if batch_size and x.is_sorted else None)
             table = coordlib.build_table(x.coords,
-                                         assume_sorted=x.is_sorted)
+                                         assume_sorted=x.is_sorted,
+                                         grid_shape=gs)
             x.kmaps[tkey] = table
         plan = build_spconv_plan(x.coords, out_coords, out_nnz, ks, st, pd,
                                  in_capacity=x.capacity,
