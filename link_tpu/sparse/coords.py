@@ -569,80 +569,96 @@ def _direct_resolve(d: DirectIndex, block, q_hi, q_lo0,
 
 
 # --- dense rank-grid join (round 4). For levels whose (b, z, y, x) grid
-# fits the cell budget, the join collapses to ONE 4-byte gather per
-# (dy, dz) tap group: a dense int32 grid stores, per cell,
+# fits the cell budget, the join collapses to ONE 12-byte gather per
+# (dy, dz) tap group: occupancy is packed 32 x-cells per uint32 WORD
+# (x fastest, per-(b, z, y) line padded to a word boundary), and each
+# word row stores
 #
-#     packed = (lower_bound(cell key) << 3) | occupancy(x, x+1, x+2)
+#     [base_rank, word, next_word]
 #
-# where lower_bound is the exclusive cumsum of cell occupancy in pack-key
-# (b, z, y, x)-major order — exactly the sorted-table position — and the
-# 3-bit mask is the x-run occupancy the quantum-run invariant needs: a
-# group's hits occupy consecutive table rows starting at the lower bound,
-# so tap t's row is lb + rank(t) with rank = popcount of lower mask bits.
-# vs the DirectIndex 3-gather pipeline this deletes both 2/3 of the join's
-# gather descriptors and ALL of its key-compare/reduce VPU work (the
-# round-4 det profile's largest slice, ~76 ms of a 309 ms forward).
-# Build cost: one N-row scatter + a cells-cumsum + elementwise packs —
-# bandwidth-bound, amortized over every conv at the level.
+# where base_rank is the exclusive cumsum of popcount(word) in pack-key
+# (b, z, y, x)-major order — exactly the sorted-table position of the
+# word's first set bit. A group anchor at bit position p reads its word
+# row, forms the 32-bit window win = (word >> p) | (next << (32-p)), and
+# resolves tap t at run offset dx as
+#
+#     hit = win bit dx;  pos = base_rank + popcount(word & ((1<<p)-1))
+#                              + popcount(win & ((1<<dx)-1))
+#
+# riding the quantum-run invariant (a group's hits occupy consecutive
+# table rows from the lower bound). vs the DirectIndex pipeline this
+# replaces 3 gathers + key-compare/reduce VPU work per group with ONE
+# gather + popcounts, and — the decisive part vs a per-CELL grid, which
+# A/B'd 15% SLOWER end-to-end — the gather table has cells/32 rows
+# (det stem: 2.6M, not 83M), staying on the gather engine's table-size
+# plateau (round-3c: rates fall ~2x+ from 1M- to 40M-row tables).
+# Build cost: one N-row scatter + popcount + words-cumsum — ~raw-sort
+# cost, amortized over every conv at the level.
 import os as _os
 RANK_GRID_MAX_CELLS = int(_os.environ.get("RANK_GRID_MAX_CELLS",
                                           96_000_000))
 RANK_GRID_ENABLED = _os.environ.get("RANK_GRID", "1") != "0"
 RANK_MARGIN = 4      # low-x anchor margin: covers group bases at
 #                      x0 = -pad (strided convs probe below the grid while
-#                      their x+1/x+2 taps are still in range)
+#                      their higher taps are still in range)
+RANK_MAX_RUN = 16    # max tap-run span (bits) the 32-bit window serves
+#                      with margin to spare; runs longer than this fall
+#                      back to the DirectIndex/search paths
 
 
 @struct.dataclass
 class RankGrid:
-    """Dense join index over a level grid (see block comment above).
+    """Word-packed dense join index over a level grid (see block comment
+    above). `rows[nwords]` is a zero sentinel: out-of-grid anchors gather
+    it and decode to all-miss. Requires unique coords (every level
+    coordinate map is deduplicated)."""
 
-    `packed[cells]` is a zero sentinel row: out-of-grid anchors gather it
-    and decode to (lb=0, mask=0) = all-miss. Requires unique coords (every
-    level coordinate map is deduplicated) and positions < 2**28."""
-
-    packed: jnp.ndarray                        # (cells + 1,) int32
+    rows: jnp.ndarray                  # (nwords + 1, 3) int32
     nx: int = struct.field(pytree_node=False)
     ny: int = struct.field(pytree_node=False)
     nz: int = struct.field(pytree_node=False)
     nb: int = struct.field(pytree_node=False)
+    nwx: int = struct.field(pytree_node=False)   # words per x line
+
+
+def _rank_grid_words(nx: int) -> int:
+    return -(-(nx + RANK_MARGIN + RANK_MAX_RUN) // 32)
 
 
 def build_rank_grid(coords: jnp.ndarray, grid_shape) -> RankGrid:
     """grid_shape = (nx, ny, nz, nb); coords (N, 4) = (x, y, z, b) int32,
     unique, padding rows at INVALID_COORD. NOT checkpoint-tagged: the
-    query outputs are, so the backward never rebuilds it, and the grid
-    itself (4 B/cell) would dominate saved-residual memory."""
+    query outputs are, so the backward never rebuilds it."""
     nx, ny, nz, nb = (int(v) for v in grid_shape)
-    nxm = nx + RANK_MARGIN
-    cells = nb * nz * ny * nxm
+    nwx = _rank_grid_words(nx)
+    nwords = nb * nz * ny * nwx
     x, y, z, b = coords[:, 0], coords[:, 1], coords[:, 2], coords[:, 3]
     valid = ((x >= 0) & (x < nx) & (y >= 0) & (y < ny)
              & (z >= 0) & (z < nz) & (b >= 0) & (b < nb))
-    lin = ((b * nz + z) * ny + y) * nxm + (x + RANK_MARGIN)
-    lin = jnp.where(valid, lin, cells)
-    occ = jnp.zeros((cells + 1,), jnp.int8).at[lin].max(jnp.int8(1))
-    occ32 = occ[:cells].astype(jnp.int32)
-    lb = jnp.cumsum(occ32) - occ32                 # exclusive: lower bound
-    g = occ[:cells].reshape(-1, nxm)               # rows = (b, z, y) lines
-    zero1 = jnp.zeros((g.shape[0], 1), jnp.int8)
-    zero2 = jnp.zeros((g.shape[0], 2), jnp.int8)
-    g1 = jnp.concatenate([g[:, 1:], zero1], axis=1)
-    g2 = jnp.concatenate([g[:, 2:], zero2], axis=1)
-    mask = (g + 2 * g1 + 4 * g2).reshape(-1).astype(jnp.int32)
-    packed = jnp.concatenate(
-        [(lb << 3) | mask, jnp.zeros((1,), jnp.int32)])
-    return RankGrid(packed, nx=nx, ny=ny, nz=nz, nb=nb)
+    bitpos = x + RANK_MARGIN
+    w = ((b * nz + z) * ny + y) * nwx + (bitpos >> 5)
+    w = jnp.where(valid, w, nwords)
+    bits = jnp.uint32(1) << (bitpos & 31).astype(jnp.uint32)
+    # unique coords => unique (word, bit) pairs => add == bitwise-or
+    words = jnp.zeros((nwords + 1,), jnp.uint32).at[w].add(bits)
+    wcur = words[:nwords]
+    pc = jax.lax.population_count(wcur).astype(jnp.int32)
+    base = jnp.cumsum(pc) - pc                     # exclusive: lower bound
+    wnext = jnp.concatenate([wcur[1:], jnp.zeros((1,), jnp.uint32)])
+    i32 = lambda u: jax.lax.bitcast_convert_type(u, jnp.int32)  # noqa:E731
+    rows = jnp.stack([base, i32(wcur), i32(wnext)], axis=1)
+    rows = jnp.concatenate([rows, jnp.zeros((1, 3), jnp.int32)])
+    return RankGrid(rows, nx=nx, ny=ny, nz=nz, nb=nb, nwx=nwx)
 
 
 def _grouped_query_rank(table: "CoordTable", glist, base_coords,
                         identity_perm: bool, free_gi, k, m, q_hi):
-    """Rank-grid body of grouped_window_query: one packed-cell gather per
+    """Rank-grid body of grouped_window_query: one word-row gather per
     searched (dy, dz) group; the self-query center group keeps the
     zero-gather shifted-compare path. Same return contract."""
     grid = table.grid
-    nxm = grid.nx + RANK_MARGIN
-    cells = grid.nb * grid.nz * grid.ny * nxm
+    nwx = grid.nwx
+    nwords = grid.nb * grid.nz * grid.ny * nwx
     g = len(glist)
     in_idx = [None] * k
     slot = [None] * k if identity_perm else None
@@ -665,15 +681,23 @@ def _grouped_query_rank(table: "CoordTable", glist, base_coords,
                  & (cy >= 0) & (cy < grid.ny)
                  & (cz >= 0) & (cz < grid.nz)
                  & (bb >= 0)[None] & (bb < grid.nb)[None])
-        lin = (((bb[None] * grid.nz + cz) * grid.ny + cy) * nxm
-               + cx + RANK_MARGIN)
-        lin = jnp.where(valid, lin, cells)
-        p = grid.packed[lin]                                     # (G', M)
-        lb = p >> 3
-        b0 = p & 1
-        b1 = (p >> 1) & 1
-        b2 = (p >> 2) & 1
-        ranks = (jnp.zeros_like(b0), b0, b0 + b1)
+        bitpos = cx + RANK_MARGIN
+        w = (((bb[None] * grid.nz + cz) * grid.ny + cy) * nwx
+             + (bitpos >> 5))
+        w = jnp.where(valid, w, nwords)
+        r = grid.rows[w]                                    # (G', M, 3)
+        u32 = lambda v: jax.lax.bitcast_convert_type(        # noqa:E731
+            v, jnp.uint32)
+        base = r[..., 0]
+        word = u32(r[..., 1])
+        wnxt = u32(r[..., 2])
+        bit = (bitpos & 31).astype(jnp.uint32)
+        sh = (jnp.uint32(32) - bit) & 31
+        win = (word >> bit) | jnp.where(bit == 0, jnp.uint32(0),
+                                        wnxt << sh)
+        lowmask = (jnp.uint32(1) << bit) - 1
+        lb = base + jax.lax.population_count(
+            word & lowmask).astype(jnp.int32)
         if identity_perm:
             # pin padding/out-of-grid anchors to the last valid base (the
             # one-hot Pallas kernel tiles windows by base spread; the XLA
@@ -684,10 +708,19 @@ def _grouped_query_rank(table: "CoordTable", glist, base_coords,
         for ci, gi in enumerate(rest):
             (ox0, _, _), taps = glist[gi]
             lb_list[gi] = lb[ci]
+            wi = win[ci]
+            rank = jnp.zeros(wi.shape, jnp.int32)
+            prev = 0
             for ox, t in taps:
-                bit = ox - ox0                 # quantum == 1 on this path
-                hit = ((p[ci] >> bit) & 1) == 1
-                pos = lb[ci] + ranks[bit][ci]
+                dx = ox - ox0                  # quantum == 1 on this path
+                if dx > prev:                  # bits [prev, dx) join rank
+                    seg = jax.lax.population_count(
+                        (wi >> jnp.uint32(prev))
+                        & jnp.uint32((1 << (dx - prev)) - 1))
+                    rank = rank + seg.astype(jnp.int32)
+                    prev = dx
+                hit = ((wi >> jnp.uint32(dx)) & 1) == 1
+                pos = lb[ci] + rank
                 if identity_perm:
                     res = pos
                 else:
@@ -695,8 +728,7 @@ def _grouped_query_rank(table: "CoordTable", glist, base_coords,
                                                  - 1), 2]
                 in_idx[t] = jnp.where(hit, res, -1)
                 if identity_perm:
-                    slot[t] = jnp.where(hit, ranks[bit][ci],
-                                        -1).astype(jnp.int8)
+                    slot[t] = jnp.where(hit, rank, -1).astype(jnp.int8)
 
     in_idx = checkpoint_name(jnp.stack(in_idx), PLAN_TAG)
     if identity_perm:
@@ -940,12 +972,16 @@ def grouped_window_query(table: "CoordTable", base_coords: jnp.ndarray,
                 free_gi = gi
                 break
 
-    # rank-grid path: the packed cell encodes x, x+1, x+2 occupancy, so it
-    # serves unit-lattice levels (quantum 1 — every det spconv level) with
-    # tap runs of <= 3
-    if table.grid is not None and quantum == 1 and gmax <= 3:
-        return _grouped_query_rank(table, glist, base_coords,
-                                   identity_perm, free_gi, k, m, q_hi)
+    # rank-grid path: one word-row gather resolves a whole tap run, for
+    # unit-lattice levels (quantum 1 — every det spconv level) whose runs
+    # fit the 32-bit window and whose anchors stay inside the low-x margin
+    if table.grid is not None and quantum == 1:
+        gspan = max(max(ox for ox, _ in taps) - ox0 + 1
+                    for (ox0, _, _), taps in glist)
+        min_ox0 = min(ox0 for (ox0, _, _), _ in glist)
+        if gspan <= RANK_MAX_RUN and min_ox0 >= -RANK_MARGIN:
+            return _grouped_query_rank(table, glist, base_coords,
+                                       identity_perm, free_gi, k, m, q_hi)
 
     # winlp coverage: the group window must fit LB-block (<= W) plus the
     # tap run's row span (gmax - 1 on-lattice rows). Wider kernels fall
