@@ -124,6 +124,138 @@ def bench_det(jax, jnp):
         "vs_baseline": round(fps / REFERENCE_DET_FRAMES_PER_SEC, 3),
     }), flush=True)
 
+    if os.environ.get("BENCH_TRAIN", "1") != "0":
+        tds = SyntheticNuScenes(length=2, mode="train", seed=0,
+                                max_voxels=160000)
+        tbatches = [dp.collate_det([tds[i]], cap) for i in range(2)]
+        bench_det_train(jax, jnp, model, tbatches)
+
+
+def bench_seg_train(jax, jnp, model_kwargs, batches, caps):
+    """Seg training-step throughput (the training north-star; VERDICT r4
+    #4 asked for this in driver artifacts): the REAL production step —
+    remat model + plan-saving policy + batch_stats + SGD — looped
+    on-device. Reference quantity: scans/s/chip during train (the
+    reference's 4-GPU recipe trains ~2.2 scans/s/GPU at batch 2)."""
+    import numpy as np
+    from link_tpu.models.linkunet import ELKUNet
+    from link_tpu.train import trainer as T
+
+    model = ELKUNet(**dict(model_kwargs, remat=True))
+    from link_tpu.sparse.tensor import make_sparse_tensor
+    b0 = batches[0]
+    st0 = make_sparse_tensor(b0["feats"], b0["coords"], nnz=b0["nnz"],
+                             base_sorted=True)
+    tvars = jax.jit(model.init, static_argnums=2)(
+        jax.random.PRNGKey(0), st0, False)
+    tx = T.make_sgd(lambda _: 0.01)
+    state = T.TrainState(step=jnp.int32(0), params=tvars["params"],
+                         batch_stats=tvars["batch_stats"],
+                         opt_state=tx.init(tvars["params"]))
+    feats = jnp.stack([jnp.asarray(b["feats"]) for b in batches])
+    coords = jnp.stack([jnp.asarray(b["coords"]) for b in batches])
+    nnzs = jnp.stack([jnp.asarray(b["nnz"]) for b in batches])
+    n_iters = 4
+    n_scans = feats.shape[0]
+
+    @jax.jit
+    def loop(seed, state):
+        def body(i, carry):
+            st, acc = carry
+            k = i % n_scans
+            batch = dict(
+                feats=feats[k], coords=coords[k], nnz=nnzs[k],
+                labels=((jnp.abs(jnp.sum(coords[k], -1)) + seed + i)
+                        % 19 + 1).astype(jnp.int32))
+            st, m = T.seg_train_step(model, tx, st, batch)
+            return st, acc + m["loss"]
+
+        return jax.lax.fori_loop(0, n_iters, body, (state, jnp.float32(0)))
+
+    t0 = time.perf_counter()
+    st1, acc = loop(jnp.int32(0), state)
+    float(np.asarray(acc))
+    print(f"# seg-train compile+first: {time.perf_counter() - t0:.1f}s",
+          flush=True)
+    times = []
+    for s in (1, 2):
+        t0 = time.perf_counter()
+        _, acc = loop(jnp.int32(s), st1)
+        float(np.asarray(acc))
+        times.append(time.perf_counter() - t0)
+    sps = n_iters / min(times)
+    print(json.dumps({
+        "metric": "semantic_kitti_train",
+        "value": round(sps, 3),
+        "unit": "scans/sec/chip",
+        "vs_baseline": round(sps / 2.2, 3),
+    }), flush=True)
+
+
+def bench_det_train(jax, jnp, model, batches):
+    """Det training-step throughput: one-cycle Adam + EAGER_INVERT gather
+    backward at the 160k cap. Reference quantity: frames/s/chip during
+    train (the reference's 4-GPU recipe runs ~2 frames/s/GPU)."""
+    import numpy as np
+    from link_tpu.train import det_trainer as DT
+    from link_tpu.train import schedules
+    from link_tpu.train.trainer import TrainState
+
+    b0 = batches[0]
+    variables = jax.jit(model.init, static_argnums=5)(
+        jax.random.PRNGKey(0), jnp.asarray(b0["voxels"]),
+        jnp.asarray(b0["coords"]), jnp.asarray(b0["num_points"]),
+        jnp.asarray(b0["nnz"]), False)
+    lr_fn, mom_fn = schedules.one_cycle(1e-3, 1000)
+    init_fn, step = DT.make_det_train_step(model, lr_fn, mom_fn, mesh=None)
+    state = TrainState(step=jnp.int32(0), params=variables["params"],
+                       batch_stats=variables["batch_stats"],
+                       opt_state=init_fn(variables["params"]))
+
+    def gb(b):
+        g = {k: jnp.asarray(b[k])[None]
+             for k in ("voxels", "coords", "num_points", "nnz")}
+        for key in ("hm", "anno_box", "ind", "mask", "cat"):
+            g[key] = [jnp.asarray(v)[None] for v in b[key]]
+        return g
+
+    # stack the frames along a leading axis and index inside an on-device
+    # fori_loop: per-step host dispatch would pay the ~100 ms tunnel RTT
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+                                     *[gb(b) for b in batches])
+    n_frames = len(batches)
+    n_iters = 4
+
+    @jax.jit
+    def loop(seed, state):
+        def body(i, carry):
+            st, acc = carry
+            k = (i + seed) % n_frames
+            batch = jax.tree_util.tree_map(lambda x: x[k], stacked)
+            st, m = step(st, batch)
+            return st, acc + m["loss"]
+
+        return jax.lax.fori_loop(0, n_iters, body, (state, jnp.float32(0)))
+
+    t0 = time.perf_counter()
+    st1, acc = loop(jnp.int32(0), state)
+    float(np.asarray(acc))
+    print(f"# det-train compile+first: {time.perf_counter() - t0:.1f}s",
+          flush=True)
+    times = []
+    for s in (1, 2):
+        t0 = time.perf_counter()
+        _, acc = loop(jnp.int32(s), st1)
+        float(np.asarray(acc))
+        times.append(time.perf_counter() - t0)
+    fps = n_iters / min(times)
+    print(json.dumps({
+        "metric": "nuscenes_det_train",
+        "value": round(fps, 3),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / 2.0, 3),
+    }), flush=True)
+
 
 def main():
     import jax
@@ -137,16 +269,22 @@ def main():
     from link_tpu.data.collate import collate_scans
     from link_tpu.sparse.tensor import make_sparse_tensor
 
+    from link_tpu.data.semantic_kitti import grid_extent
+
     caps = DEFAULT_CAPACITIES
     n_scans = 4
     # split="train" applies the reference's 80k-voxel cap (val runs uncapped
     # in the reference and needs larger capacities).
     ds = SyntheticSemanticKITTI(length=n_scans, num_points=80000,
                                 n_raw_points=120000, split="train")
-    batches = [collate_scans([ds[i]], caps[0]) for i in range(n_scans)]
+    # static domain bound -> RankGrid joins at the coarse levels + ELK aux
+    ext = grid_extent(0.05, batch_size=1)
+    batches = [collate_scans([ds[i]], caps[0], grid_extent=ext)
+               for i in range(n_scans)]
 
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
-    model = ELKUNet(num_classes=20, cr=1.0, capacities=caps, dtype=dtype)
+    model = ELKUNet(num_classes=20, cr=1.0, capacities=caps, dtype=dtype,
+                    grid_extent=ext)
 
     b0 = batches[0]
     st = make_sparse_tensor(b0["feats"], b0["coords"], nnz=b0["nnz"], base_sorted=True)
@@ -196,6 +334,14 @@ def main():
             bench_det(jax, jnp)
         except Exception as e:                        # never mask the seg line
             print(f"# det bench failed: {e!r}", flush=True)
+
+    if os.environ.get("BENCH_TRAIN", "1") != "0":
+        try:
+            mk = dict(num_classes=20, cr=1.0, capacities=caps, dtype=dtype,
+                      grid_extent=ext)
+            bench_seg_train(jax, jnp, mk, batches, caps)
+        except Exception as e:                        # never mask the seg line
+            print(f"# seg-train bench failed: {e!r}", flush=True)
 
     print(json.dumps({
         "metric": "semantic_kitti_elkunet_infer",

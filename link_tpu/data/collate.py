@@ -18,14 +18,35 @@ from ..sparse.coords import INVALID_COORD
 
 def collate_scans(scans: List[Dict], capacity: int,
                   point_capacity: Optional[int] = None,
-                  ignore_label: int = 0) -> Dict[str, np.ndarray]:
+                  ignore_label: int = 0,
+                  grid_extent=None) -> Dict[str, np.ndarray]:
+    """`grid_extent=(nx, ny, nz[, nb])` enforces the static domain bound
+    that backs the RankGrid join index (sparse/coords.py build_table):
+    voxels at coords outside [0, extent) are DROPPED here, keeping the
+    device-side contract unconditional. Out-of-extent voxels do not occur
+    for in-contract data (semantic_kitti.grid_extent's bound covers the
+    sensor's reach with margin)."""
     coords, feats, labels = [], [], []
+    dropped = 0
     for b, scan in enumerate(scans):
         c = scan["coords"]
+        f, l = scan["feats"], scan["labels"]
+        if grid_extent is not None:
+            e = np.asarray(grid_extent[:3], np.int32)
+            keep = ((c[:, :3] >= 0) & (c[:, :3] < e)).all(axis=1)
+            if not keep.all():
+                dropped += int((~keep).sum())
+                c, f, l = c[keep], f[keep], l[keep]
         coords.append(np.concatenate(
             [c, np.full((len(c), 1), b, np.int32)], axis=1))
-        feats.append(scan["feats"])
-        labels.append(scan["labels"])
+        feats.append(f)
+        labels.append(l)
+    if dropped and point_capacity is not None:
+        # the point-level inverse maps index voxel rows by position;
+        # dropping rows would silently shift them — refuse instead
+        raise ValueError(
+            f"{dropped} voxels outside grid_extent {grid_extent} in a "
+            "point-level (eval) batch; raise the extent for this dataset")
     coords = np.concatenate(coords)
     feats = np.concatenate(feats)
     labels = np.concatenate(labels)

@@ -43,6 +43,22 @@ TRAIN_SEQS = ["00", "01", "02", "03", "04", "05", "06", "07", "09", "10"]
 VAL_SEQS = ["08"]
 TEST_SEQS = ["11", "12", "13", "14", "15", "16", "17", "18", "19", "20", "21"]
 
+# Static coordinate-domain bound in METERS for the (min-shifted, so
+# nonnegative) quantized coords process_scan emits. KITTI's HDL-64E spans
+# <= 2 * 80 m * 1.05 (augment scale) = 168 m horizontally; the z spread
+# (terrain + sensor height) stays far below 22 m. The bound backs the
+# dense RankGrid join index (sparse/coords.py): collate_scans drops the
+# (never seen in practice) voxels beyond it — the same silent-domain
+# contract pack_coords already applies at its 2^14/2^12 packing bounds.
+GRID_EXTENT_M = (179.2, 179.2, 22.4)
+
+
+def grid_extent(voxel_size: float = 0.05, batch_size: int = 1):
+    """(nx, ny, nz, nb) static domain bound for SparseTensor.grid_extent
+    at a given quantization, e.g. (3584, 3584, 448, 1) at 0.05 m."""
+    return tuple(int(np.ceil(m / voxel_size)) for m in GRID_EXTENT_M) + (
+        int(batch_size),)
+
 
 def build_label_map() -> np.ndarray:
     lut = np.full(260, 255, np.int64)

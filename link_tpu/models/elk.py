@@ -109,10 +109,19 @@ class ELKBlock(nn.Module):
             agg = block_broadcast(blocks, s, (Z, Y, X)).astype(
                 st.feats.dtype)
         else:
-            aux, idx, counts = voxel_to_aux(st.replace(feats=mod), s,
-                                            self.aux_capacity)
-            agg = aux_to_voxel(aux, st.replace(feats=mod), idx, counts,
-                               r).feats
+            from ..ops.elk import elk_aux_window_dense, use_dense_aux
+            gs = use_dense_aux(st, s, r, mod.shape[-1])
+            if gs is not None:
+                # dense-aux: the aux lattice fits a dense grid (det
+                # levels), so the r^3 window sum runs as a reduce_window
+                # box sum — no join, no window gathers (round-5 det
+                # profile: the sparse aux slice was ~35 ms/frame)
+                agg = elk_aux_window_dense(mod, st.coords, s, r, gs)
+            else:
+                aux, idx, counts = voxel_to_aux(st.replace(feats=mod), s,
+                                                self.aux_capacity)
+                agg = aux_to_voxel(aux, st.replace(feats=mod), idx, counts,
+                                   r).feats
 
         c = self.inc
         if self.baseop == "sin":

@@ -76,11 +76,15 @@ class ELKEncoder(nn.Module):
     bn_axis: Optional[str] = None
     dtype: str = "float32"  # bf16 halves MXU time + gather bytes
     remat: bool = False      # rematerialize blocks (training memory)
+    # static stride-1 domain bound (see ELKUNet.grid_extent)
+    grid_extent: Optional[Tuple[int, int, int, int]] = None
 
     @nn.compact
     def __call__(self, x: SparseTensor, train: bool = False):
         import jax.numpy as _jnp
         x = x.replace(feats=x.feats.astype(_jnp.dtype(self.dtype)))
+        if self.grid_extent is not None and x.grid_extent is None:
+            x = x.replace(grid_extent=tuple(self.grid_extent))
         if self.remat:
             _Res = nn.remat(ResidualBlock, static_argnums=(2,), policy=_plan_policy())
             _Down = nn.remat(BasicConvolutionBlock, static_argnums=(2,), policy=_plan_policy())

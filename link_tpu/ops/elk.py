@@ -22,7 +22,79 @@ import numpy as np
 
 from ..sparse import coords as coordlib
 from ..sparse import ops as spops
+from ..sparse.dense_grid import box_sum
 from ..sparse.tensor import SparseTensor
+
+
+# Dense-aux path budget: bytes of the f32 (cells, C+1) aux grid. Det aux
+# lattices are tiny (L0: 206x206x6 = 255k cells at block 7 over the
+# 1440x1440x41 grid); seg lattices at 0.05 m blow past this and keep the
+# sparse join path.
+DENSE_AUX_MAX_BYTES = 256 * 1024 * 1024
+DENSE_AUX_ENABLED = True  # A/B: link_tpu.ops.elk.DENSE_AUX_ENABLED = False
+
+
+def aux_grid_shape(x: SparseTensor, s: int):
+    """RAW-extent (nx, ny, nz, nb) bound of x's coord domain (for the
+    dense-aux path), from grid_extent (seg) or the level table's RankGrid
+    (det), or None."""
+    if x.grid_extent is not None:
+        return tuple(int(v) for v in x.grid_extent)
+    ltab = x.kmaps.get(("table", x.stride))
+    g = getattr(ltab, "grid", None) if ltab is not None else None
+    if g is not None:
+        return (g.nx * g.quantum, g.ny * g.quantum, g.nz * g.quantum, g.nb)
+    return None
+
+
+def elk_aux_window_dense(mod: jnp.ndarray, coords: jnp.ndarray, s: int,
+                         r: int, grid_shape) -> jnp.ndarray:
+    """Fused voxel_to_aux + aux_to_voxel on a DENSE aux grid: scatter-add
+    the modulated feats (and an occupancy count) into the s^3-block grid,
+    take the centered r^3 box sum (reduce_window — bandwidth-bound, ZERO
+    gather descriptors), and gather each voxel's result back by its block
+    cell. Exactly the reference's count-weighted window mean
+    (segmentation/core/models/utils.py:61-84): the sparse form pools
+    means then re-multiplies by counts, i.e. sums — which is what the
+    scatter accumulates directly. Replaces the det profile's aux-join
+    slice (unique sort + rank-word gathers + 27-tap window gathers,
+    ~35 ms/frame at the 160k cap, round 5)."""
+    assert r % 2 == 1
+    nxr, nyr, nzr, nb = (int(v) for v in grid_shape)
+    nxa, nya, nza = -(-nxr // s), -(-nyr // s), -(-nzr // s)
+    cells = nb * nza * nya * nxa
+    c = mod.shape[1]
+    x, y, z, b = coords[:, 0], coords[:, 1], coords[:, 2], coords[:, 3]
+    valid = ((x >= 0) & (x < nxr) & (y >= 0) & (y < nyr)
+             & (z >= 0) & (z < nzr) & (b >= 0) & (b < nb))
+    lin = (((b * nza + z // s) * nya + y // s) * nxa + x // s)
+    lin = jnp.where(valid, lin, cells)
+    sums = jnp.zeros((cells + 1, c), jnp.float32).at[lin].add(
+        jnp.where(valid[:, None], mod, 0).astype(jnp.float32))
+    cnts = jnp.zeros((cells + 1,), jnp.float32).at[lin].add(
+        valid.astype(jnp.float32))
+    grid = sums[:cells].reshape(nb, nza, nya, nxa, c)
+    cgrid = cnts[:cells].reshape(nb, nza, nya, nxa, 1)
+    win = box_sum(grid, r)
+    wc = box_sum(cgrid, r)[..., 0]
+    new = win / jnp.where(wc == 0, 1, wc)[..., None]
+    flat = jnp.concatenate(
+        [new.reshape(cells, c), jnp.zeros((1, c), new.dtype)])
+    return flat[lin].astype(mod.dtype)
+
+
+def use_dense_aux(x: SparseTensor, s: int, r: int, channels: int):
+    """Gate + grid shape for the dense-aux path."""
+    if not DENSE_AUX_ENABLED or r % 2 != 1:
+        return None
+    gs = aux_grid_shape(x, s)
+    if gs is None:
+        return None
+    nxr, nyr, nzr, nb = (int(v) for v in gs)
+    cells = nb * (-(-nxr // s)) * (-(-nyr // s)) * (-(-nzr // s))
+    if cells * (channels + 1) * 4 > DENSE_AUX_MAX_BYTES:
+        return None
+    return gs
 
 
 def voxel_to_aux(x: SparseTensor, s: int, aux_capacity: int):
@@ -65,16 +137,23 @@ def aux_to_voxel(aux: SparseTensor, x: SparseTensor, idx_query: jnp.ndarray,
     # here are wide (3C+1 channels, f32) so the window-form gather would
     # fall off the descriptor-rate plateau (see sparse/conv.py) — the sum
     # stays in per-tap gather form.
-    # When the level carries a rank-grid (det backbone levels,
-    # spconv_engine.ensure_level_table), the aux lattice inherits it at
-    # ceil(extent / s): divided coords live on a unit grid, so the r^3
-    # window join collapses to one packed-cell gather per (dy, dz) group.
+    # When the level's base domain is statically bounded (grid_extent
+    # from collate — seg levels) or the level carries a rank-grid (det
+    # backbone levels, spconv_engine.ensure_level_table), the aux lattice
+    # inherits the bound at ceil(extent / s): divided coords live on a
+    # unit grid, so the r^3 window join collapses to one packed-cell
+    # gather per (dy, dz) group.
     gs = None
-    ltab = x.kmaps.get(("table", x.stride))
-    if ltab is not None and getattr(ltab, "grid", None) is not None:
-        g = ltab.grid
-        s = aux.stride[0]
-        gs = (-(-g.nx // s), -(-g.ny // s), -(-g.nz // s), g.nb)
+    s = aux.stride[0]
+    if x.grid_extent is not None:
+        e = x.grid_extent
+        gs = (-(-e[0] // s), -(-e[1] // s), -(-e[2] // s), e[3])
+    else:
+        ltab = x.kmaps.get(("table", x.stride))
+        if ltab is not None and getattr(ltab, "grid", None) is not None:
+            g = ltab.grid
+            gs = (-(-(g.nx * g.quantum) // s), -(-(g.ny * g.quantum) // s),
+                  -(-(g.nz * g.quantum) // s), g.nb)
     table = coordlib.build_table(aux.coords, assume_sorted=True,
                                  grid_shape=gs)
     nb_idx, _, _ = coordlib.grouped_window_query(

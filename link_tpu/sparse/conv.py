@@ -784,8 +784,17 @@ def conv3d(x: SparseTensor,
             tkey = ("table", x.stride)
             table = x.kmaps.get(tkey)
             if table is None:
-                table = coordlib.build_table(x.coords,
-                                             assume_sorted=x.coords_sorted)
+                # grid_extent (static base-domain bound from collate)
+                # unlocks the RankGrid join index at levels whose lattice
+                # (extent / stride) fits the cell budget — the seg
+                # stride-8/16 levels; finer levels fall back to
+                # DirectIndex inside build_table. Isotropic strides only:
+                # the grid divides every axis by one quantum.
+                iso = x.stride[0] == x.stride[1] == x.stride[2]
+                table = coordlib.build_table(
+                    x.coords, assume_sorted=x.coords_sorted,
+                    grid_shape=x.grid_extent if iso else None,
+                    grid_quantum=x.stride[0])
                 x.kmaps[tkey] = table
             plan = build_conv_plan(x.coords, out_coords, out_nnz, offsets,
                                    in_capacity=x.capacity,
@@ -809,7 +818,8 @@ def conv3d(x: SparseTensor,
                            nnz=plan.out_nnz, stride=new_stride,
                            cmaps=x.cmaps, kmaps=x.kmaps,
                            base_sorted=x.base_sorted,
-                           coords_sorted=out_sorted)
+                           coords_sorted=out_sorted,
+                           grid_extent=x.grid_extent)
     else:
         tensor_stride = tuple(x.stride[k] // stride[k] for k in range(3))
         tkey = ("plan", tensor_stride, kernel_size, stride, dilation)
@@ -829,7 +839,8 @@ def conv3d(x: SparseTensor,
         out = SparseTensor(feats=feats, coords=fine_coords, nnz=fine_nnz,
                            stride=tensor_stride, cmaps=x.cmaps,
                            kmaps=x.kmaps, base_sorted=x.base_sorted,
-                           coords_sorted=fine_sorted)
+                           coords_sorted=fine_sorted,
+                           grid_extent=x.grid_extent)
 
     out.cmaps.setdefault(out.stride, (out.coords, out.nnz))
     return out

@@ -343,6 +343,11 @@ class CoordTable:
     rows: jnp.ndarray                # (N, 8): [hi, lo, perm, pad...]
     direct: Any = None               # optional DirectIndex
     grid: Any = None                 # optional RankGrid (dense levels)
+    # identity=True: the table was built assume_sorted, so the perm
+    # column is arange — a resolved rank IS the original row index and
+    # the rank-grid path can skip its perm gather (measured 68 ms/frame
+    # of scalar-element gathers in the det ELK aux joins, round 5)
+    identity: bool = struct.field(pytree_node=False, default=False)
 
     ROW_W = 8
 
@@ -387,7 +392,8 @@ class CoordTable:
 
 
 def build_table(coords: jnp.ndarray, assume_sorted: bool = False,
-                direct: bool = True, grid_shape=None) -> CoordTable:
+                direct: bool = True, grid_shape=None,
+                grid_quantum: int = 1) -> CoordTable:
     """`assume_sorted=True` skips the sort (perm = identity) for coords
     already in pack-key order — the invariant the host collate functions
     and unique_coords/spdownsample maintain. Saves one full-key sort
@@ -399,7 +405,20 @@ def build_table(coords: jnp.ndarray, assume_sorted: bool = False,
 
     `grid_shape=(nx, ny, nz, nb)` additionally builds the dense RankGrid
     index (levels whose grid fits RANK_GRID_MAX_CELLS), which resolves a
-    whole (dy, dz) tap group with ONE 4-byte gather."""
+    whole (dy, dz) tap group with ONE 12-byte gather. `grid_quantum` is
+    the level's lattice spacing: coordinates and group x-runs step in
+    multiples of it (stride-s seg levels pass s; unit lattices 1), and
+    the grid indexes lattice cells coord//quantum.
+
+    RankGrid PRECONDITION (silent-corruption hazard otherwise): every
+    pack-valid coord must be UNIQUE, a multiple of `grid_quantum` on
+    x/y/z, and inside `grid_shape`. A valid coord outside the grid (or
+    misaligned) sets no occupancy bit, desynchronizing base_rank from
+    the sorted-table position for every coord after it — wrong joins,
+    no error. Callers guarantee this structurally (det: coords clipped
+    to in_shape by voxelization; seg: collate drops coords beyond the
+    dataset's static extent). Set RANK_GRID_CHECK=1 to verify at
+    runtime (adds a popcount-vs-rowcount consistency callback)."""
     hi, lo = pack_coords(coords)
     n = coords.shape[0]
     perm = jnp.arange(n, dtype=jnp.int32)
@@ -410,14 +429,17 @@ def build_table(coords: jnp.ndarray, assume_sorted: bool = False,
     rows = checkpoint_name(rows, PLAN_TAG)
     grid = None
     if grid_shape is not None and RANK_GRID_ENABLED:
-        cells = int(np.prod(np.asarray(grid_shape, np.int64)))
+        q = int(grid_quantum)
+        lat = [-(-int(v) // q) for v in grid_shape[:3]]
+        cells = int(np.prod(np.asarray(lat + [int(grid_shape[3])],
+                                       np.int64)))
         if cells <= RANK_GRID_MAX_CELLS:
-            grid = build_rank_grid(coords, grid_shape)
+            grid = build_rank_grid(coords, grid_shape, quantum=q)
     # the grid serves every groupable join at the level, which leaves the
     # DirectIndex unused — skip its (winlp + fence) builds then
     idx = (build_direct_index(rows)
            if (direct and DIRECT_ENABLED and grid is None) else None)
-    return CoordTable(rows, direct=idx, grid=grid)
+    return CoordTable(rows, direct=idx, grid=grid, identity=assume_sorted)
 
 
 @struct.dataclass
@@ -610,8 +632,10 @@ RANK_MAX_RUN = 16    # max tap-run span (bits) the 32-bit window serves
 class RankGrid:
     """Word-packed dense join index over a level grid (see block comment
     above). `rows[nwords]` is a zero sentinel: out-of-grid anchors gather
-    it and decode to all-miss. Requires unique coords (every level
-    coordinate map is deduplicated)."""
+    it and decode to all-miss. PRECONDITION (see build_table): pack-valid
+    coords unique, multiples of `quantum`, inside the grid — violations
+    silently desynchronize ranks from sorted-table positions. nx/ny/nz
+    are LATTICE extents (raw extent / quantum, ceil)."""
 
     rows: jnp.ndarray                  # (nwords + 1, 3) int32
     nx: int = struct.field(pytree_node=False)
@@ -619,20 +643,37 @@ class RankGrid:
     nz: int = struct.field(pytree_node=False)
     nb: int = struct.field(pytree_node=False)
     nwx: int = struct.field(pytree_node=False)   # words per x line
+    quantum: int = struct.field(pytree_node=False, default=1)
 
 
 def _rank_grid_words(nx: int) -> int:
     return -(-(nx + RANK_MARGIN + RANK_MAX_RUN) // 32)
 
 
-def build_rank_grid(coords: jnp.ndarray, grid_shape) -> RankGrid:
-    """grid_shape = (nx, ny, nz, nb); coords (N, 4) = (x, y, z, b) int32,
-    unique, padding rows at INVALID_COORD. NOT checkpoint-tagged: the
-    query outputs are, so the backward never rebuilds it."""
-    nx, ny, nz, nb = (int(v) for v in grid_shape)
+def _rank_grid_mismatch(total, nvalid):
+    if int(total) != int(nvalid):
+        raise ValueError(
+            f"RankGrid precondition violated: {int(nvalid)} pack-valid "
+            f"coords but {int(total)} grid occupancy bits — some valid "
+            f"coord is out-of-grid, misaligned, or duplicated; joins at "
+            f"this level would be silently wrong (see build_table doc)")
+
+
+def build_rank_grid(coords: jnp.ndarray, grid_shape,
+                    quantum: int = 1) -> RankGrid:
+    """grid_shape = (nx, ny, nz, nb) RAW extents; coords (N, 4) =
+    (x, y, z, b) int32, unique multiples of `quantum`, padding rows at
+    INVALID_COORD. NOT checkpoint-tagged: the query outputs are, so the
+    backward never rebuilds it."""
+    q = int(quantum)
+    nxr, nyr, nzr, nb = (int(v) for v in grid_shape)
+    nx, ny, nz = -(-nxr // q), -(-nyr // q), -(-nzr // q)
     nwx = _rank_grid_words(nx)
     nwords = nb * nz * ny * nwx
-    x, y, z, b = coords[:, 0], coords[:, 1], coords[:, 2], coords[:, 3]
+    x = coords[:, 0] // q
+    y = coords[:, 1] // q
+    z = coords[:, 2] // q
+    b = coords[:, 3]
     valid = ((x >= 0) & (x < nx) & (y >= 0) & (y < ny)
              & (z >= 0) & (z < nz) & (b >= 0) & (b < nb))
     bitpos = x + RANK_MARGIN
@@ -644,11 +685,15 @@ def build_rank_grid(coords: jnp.ndarray, grid_shape) -> RankGrid:
     wcur = words[:nwords]
     pc = jax.lax.population_count(wcur).astype(jnp.int32)
     base = jnp.cumsum(pc) - pc                     # exclusive: lower bound
+    if _os.environ.get("RANK_GRID_CHECK", "0") == "1":
+        hi_k, _ = pack_coords(coords)
+        nvalid = jnp.sum(key_is_valid(hi_k).astype(jnp.int32))
+        jax.debug.callback(_rank_grid_mismatch, base[-1] + pc[-1], nvalid)
     wnext = jnp.concatenate([wcur[1:], jnp.zeros((1,), jnp.uint32)])
     i32 = lambda u: jax.lax.bitcast_convert_type(u, jnp.int32)  # noqa:E731
     rows = jnp.stack([base, i32(wcur), i32(wnext)], axis=1)
     rows = jnp.concatenate([rows, jnp.zeros((1, 3), jnp.int32)])
-    return RankGrid(rows, nx=nx, ny=ny, nz=nz, nb=nb, nwx=nwx)
+    return RankGrid(rows, nx=nx, ny=ny, nz=nz, nb=nb, nwx=nwx, quantum=q)
 
 
 def _grouped_query_rank(table: "CoordTable", glist, base_coords,
@@ -665,18 +710,22 @@ def _grouped_query_rank(table: "CoordTable", glist, base_coords,
     lb_list = [None] * g
 
     if free_gi is not None:
-        _self_group_fill(table, glist, free_gi, q_hi[free_gi], 1, m,
-                         identity_perm, in_idx, slot, lb_list)
+        _self_group_fill(table, glist, free_gi, q_hi[free_gi], grid.quantum,
+                         m, identity_perm, in_idx, slot, lb_list)
 
     rest = [gi for gi in range(g) if gi != free_gi]
     if rest:
+        q = grid.quantum
+        # base coords and group offsets are multiples of the lattice
+        # quantum (grouped_window_query gate), so // is exact division;
+        # INVALID_COORD stays deeply negative and fails the valid mask
         bx = base_coords[:, 0]
         by = base_coords[:, 1]
         bz = base_coords[:, 2]
         bb = base_coords[:, 3]
-        cx = jnp.stack([bx + glist[gi][0][0] for gi in rest])    # (G', M)
-        cy = jnp.stack([by + glist[gi][0][1] for gi in rest])
-        cz = jnp.stack([bz + glist[gi][0][2] for gi in rest])
+        cx = jnp.stack([(bx + glist[gi][0][0]) // q for gi in rest])
+        cy = jnp.stack([(by + glist[gi][0][1]) // q for gi in rest])
+        cz = jnp.stack([(bz + glist[gi][0][2]) // q for gi in rest])
         valid = ((cx >= -RANK_MARGIN) & (cx < grid.nx)
                  & (cy >= 0) & (cy < grid.ny)
                  & (cz >= 0) & (cz < grid.nz)
@@ -712,7 +761,7 @@ def _grouped_query_rank(table: "CoordTable", glist, base_coords,
             rank = jnp.zeros(wi.shape, jnp.int32)
             prev = 0
             for ox, t in taps:
-                dx = ox - ox0                  # quantum == 1 on this path
+                dx = (ox - ox0) // q           # lattice bit offset
                 if dx > prev:                  # bits [prev, dx) join rank
                     seg = jax.lax.population_count(
                         (wi >> jnp.uint32(prev))
@@ -721,7 +770,11 @@ def _grouped_query_rank(table: "CoordTable", glist, base_coords,
                     prev = dx
                 hit = ((wi >> jnp.uint32(dx)) & 1) == 1
                 pos = lb[ci] + rank
-                if identity_perm:
+                if identity_perm or table.identity:
+                    # identity-perm table: a rank IS the original row
+                    # index — skip the rows[pos, 2] perm gather (a
+                    # scalar-element gather, the round-5 det profile's
+                    # single largest slice at 68 ms/frame)
                     res = pos
                 else:
                     res = table.rows[jnp.minimum(pos, table.rows.shape[0]
@@ -973,13 +1026,15 @@ def grouped_window_query(table: "CoordTable", base_coords: jnp.ndarray,
                 break
 
     # rank-grid path: one word-row gather resolves a whole tap run, for
-    # unit-lattice levels (quantum 1 — every det spconv level) whose runs
-    # fit the 32-bit window and whose anchors stay inside the low-x margin
-    if table.grid is not None and quantum == 1:
-        gspan = max(max(ox for ox, _ in taps) - ox0 + 1
+    # levels on the grid's lattice (quantum == grid.quantum: unit det
+    # spconv levels, stride-s seg levels) whose runs fit the 32-bit
+    # window and whose anchors stay inside the low-x margin
+    if table.grid is not None and quantum == table.grid.quantum:
+        gq = table.grid.quantum
+        gspan = max((max(ox for ox, _ in taps) - ox0) // gq + 1
                     for (ox0, _, _), taps in glist)
         min_ox0 = min(ox0 for (ox0, _, _), _ in glist)
-        if gspan <= RANK_MAX_RUN and min_ox0 >= -RANK_MARGIN:
+        if gspan <= RANK_MAX_RUN and min_ox0 >= -RANK_MARGIN * gq:
             return _grouped_query_rank(table, glist, base_coords,
                                        identity_perm, free_gi, k, m, q_hi)
 

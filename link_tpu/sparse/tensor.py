@@ -107,6 +107,15 @@ class SparseTensor:
     # Strided-conv outputs come from unique_coords and set it True;
     # submanifold ops inherit it.
     coords_sorted: bool = struct.field(pytree_node=False, default=False)
+    # grid_extent: optional static (nx, ny, nz, nb) bound on the BASE
+    # (stride-1) coordinate domain: every valid coord satisfies
+    # 0 <= c < extent at stride 1 (levels at stride s occupy multiples of
+    # s inside it). Lets conv.py build the dense RankGrid join index for
+    # levels whose lattice fits the cell budget (sparse/coords.py).
+    # Collate functions set it from the dataset's static domain and DROP
+    # the (never-seen-in-practice) voxels beyond it — the same contract
+    # pack_coords already applies at the 2^14/2^12 packing bounds.
+    grid_extent: Any = struct.field(pytree_node=False, default=None)
 
     @property
     def is_sorted(self) -> bool:
@@ -131,13 +140,18 @@ class SparseTensor:
 
 
 def make_sparse_tensor(feats, coords, nnz=None, stride=1,
-                       base_sorted: bool = False) -> SparseTensor:
+                       base_sorted: bool = False,
+                       grid_extent=None) -> SparseTensor:
     """`base_sorted=True` asserts the valid coords are in pack-key order
     (b, z, y, x) — guaranteed by the host collate functions
     (data/collate.py, data/det_pipeline.collate_det). It unlocks the
     bracketed joins and windowed gathers in sparse/conv.py; passing it for
     unsorted coords silently corrupts kernel maps, so only set it for
-    collate-produced batches."""
+    collate-produced batches.
+
+    `grid_extent=(nx, ny, nz, nb)` asserts every valid coord lies in
+    [0, extent) — the RankGrid contract (sparse/coords.py build_table);
+    collate functions enforce it by dropping out-of-extent voxels."""
     stride = coordlib.make_ntuple(stride)
     coords = jnp.asarray(coords, jnp.int32)
     feats = jnp.asarray(feats)
@@ -150,8 +164,11 @@ def make_sparse_tensor(feats, coords, nnz=None, stride=1,
         row = jnp.arange(n, dtype=jnp.int32)
         coords = jnp.where((row < nnz)[:, None], coords,
                            jnp.int32(coordlib.INVALID_COORD))
+    if grid_extent is not None:
+        grid_extent = tuple(int(v) for v in grid_extent)
     st = SparseTensor(feats=feats, coords=coords, nnz=nnz, stride=stride,
-                      base_sorted=base_sorted, coords_sorted=base_sorted)
+                      base_sorted=base_sorted, coords_sorted=base_sorted,
+                      grid_extent=grid_extent)
     st.cmaps[stride] = (coords, nnz)
     return st
 

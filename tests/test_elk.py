@@ -125,3 +125,44 @@ def test_elk_equals_window_mean_identity_basis():
     # local branch LN(0)=0, so output = relu(LN(window_mean))
     got = np.asarray(out.feats)[:len(coords)]
     np.testing.assert_allclose(got, np.maximum(want_new, 0), atol=2e-3)
+
+
+@pytest.mark.parametrize("s,r", [(7, 3), (3, 3), (2, 1)])
+def test_dense_aux_window_matches_sparse(s, r):
+    """elk_aux_window_dense (scatter + box_sum, round 5) must reproduce
+    the sparse voxel_to_aux/aux_to_voxel pipeline bit-close (same f32
+    sums, different association order only)."""
+    rng = np.random.default_rng(21)
+    coords, feats = oracles.random_cloud(rng, 800, span=(40, 36, 14),
+                                         batch=2, channels=9)
+    cap = 1024
+    st = make_sparse_tensor(pad_feats(feats, cap), pad_coords(coords, cap),
+                            nnz=len(coords), stride=1)
+    aux, idx, counts = elkops.voxel_to_aux(st, s, cap)
+    want = np.asarray(elkops.aux_to_voxel(aux, st, idx, counts, r).feats)
+    got = np.asarray(elkops.elk_aux_window_dense(
+        st.feats, st.coords, s, r, (40, 36, 14, 2)))
+    n = len(coords)
+    np.testing.assert_allclose(got[:n], want[:n], rtol=2e-5, atol=2e-5)
+    # padding rows decode to zero in the dense form
+    assert np.all(got[n:] == 0) or np.allclose(got[n:], 0)
+
+
+def test_dense_aux_gate():
+    """use_dense_aux: active only with a known grid bound, odd r, and an
+    aux grid under budget."""
+    rng = np.random.default_rng(22)
+    coords, feats = oracles.random_cloud(rng, 100, span=(20, 20, 8),
+                                         batch=1, channels=4)
+    st = make_sparse_tensor(pad_feats(feats, 128), pad_coords(coords, 128),
+                            nnz=len(coords), stride=1)
+    assert elkops.use_dense_aux(st, 7, 3, 8) is None      # no grid bound
+    st2 = st.replace(grid_extent=(20, 20, 8, 1))
+    assert elkops.use_dense_aux(st2, 7, 3, 8) == (20, 20, 8, 1)
+    assert elkops.use_dense_aux(st2, 7, 2, 8) is None     # even r
+    old = elkops.DENSE_AUX_MAX_BYTES
+    try:
+        elkops.DENSE_AUX_MAX_BYTES = 16
+        assert elkops.use_dense_aux(st2, 7, 3, 8) is None  # over budget
+    finally:
+        elkops.DENSE_AUX_MAX_BYTES = old

@@ -62,6 +62,18 @@ def test_tselk_block_matches_reference():
     err = np.max(np.abs(got - want)) / (np.max(np.abs(want)) + 1e-9)
     assert err < 2e-4, f"tselk rel err {err}"
 
+    # same golden through the DENSE-aux window path (round 5): a
+    # grid_extent bound activates elk_aux_window_dense in ELKBlock
+    ext = tuple(int(v) for v in coords[:, :3].max(0) + 1) + (
+        int(coords[:, 3].max()) + 1,)
+    std = st.replace(grid_extent=ext)
+    from link_tpu.ops.elk import use_dense_aux
+    assert use_dense_aux(std, block_sz, 3, 2 * inc) is not None
+    outd = model.apply({"params": params}, std, block_sz, 3, False)
+    gotd = np.asarray(outd.feats)[:n]
+    errd = np.max(np.abs(gotd - want)) / (np.max(np.abs(want)) + 1e-9)
+    assert errd < 2e-4, f"tselk dense-aux rel err {errd}"
+
 
 ENCODER = os.path.join(GOLDEN_DIR, "elkencoder_cr0.25.npz")
 MINK = os.path.join(GOLDEN_DIR, "minkunet_cr0.25.npz")

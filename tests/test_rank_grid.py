@@ -1,9 +1,13 @@
 """RankGrid join exactness (round 4).
 
 The dense rank-grid index (coords.RankGrid) resolves a whole (dy, dz)
-tap group with ONE packed-cell gather: packed = (lower_bound << 3) |
-x-run occupancy mask, lower_bound = exclusive cumsum of cell occupancy
-in pack-key order. Exactness rides on the quantum-run invariant (a
+tap group with ONE word-row gather: occupancy is packed 32 x-cells per
+uint32 word and each word row stores [base_rank, word, next_word],
+where base_rank is the exclusive cumsum of popcount(word) in pack-key
+order (= the sorted-table position of the word's first set bit); an
+anchor at bit p forms the window (word >> p) | (next << (32-p)) and
+ranks each tap by popcount. Exactness rides on the quantum-run
+invariant (a
 group's hits occupy consecutive table rows starting at the lower bound),
 so the pins below compare the rank path bit-for-bit against the
 DirectIndex/search paths on the cases where the invariant is stressed:
@@ -152,3 +156,86 @@ def test_unsorted_table_perm():
     got = C.grouped_window_query(tg, cj, offs, 1, identity_perm=False)[0]
     want = C.grouped_window_query(td, cj, offs, 1, identity_perm=False)[0]
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_quantum_lattice_matches_direct():
+    """Stride-s seg levels: coords are multiples of s, group x-runs step
+    by s. A grid built with grid_quantum=s must match the DirectIndex
+    join bit-for-bit (round 5: RankGrid extended beyond unit lattices)."""
+    rng = np.random.default_rng(7)
+    for q in (2, 8):
+        shape = (30 * q, 22 * q, 9 * q)       # raw extents
+        nx, ny, nz = 30, 22, 9
+        pts = np.stack([rng.integers(0, nx, 3000), rng.integers(0, ny, 3000),
+                        rng.integers(0, nz, 3000),
+                        rng.integers(0, 2, 3000)], axis=1).astype(np.int32)
+        pts = np.unique(pts, axis=0)
+        pts[:, :3] *= q                       # lattice multiples
+        order = np.lexsort((pts[:, 0], pts[:, 1], pts[:, 2], pts[:, 3]))
+        pts = pts[order]
+        cap = len(pts) + 37
+        coords = np.full((cap, 4), C.INVALID_COORD, np.int32)
+        coords[:len(pts)] = pts
+        cj = jnp.asarray(coords)
+        tg = C.build_table(cj, assume_sorted=True, grid_shape=shape + (2,),
+                           grid_quantum=q)
+        td = C.build_table(cj, assume_sorted=True)
+        assert tg.grid is not None and tg.grid.quantum == q
+        offs = C.kernel_offsets_np(3, stride=q)   # submanifold at stride q
+        got = C.grouped_window_query(tg, cj, offs, q, queries_sorted=True,
+                                     identity_perm=True, self_query=True)
+        want = C.grouped_window_query(td, cj, offs, q, queries_sorted=True,
+                                      identity_perm=True, self_query=True)
+        np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want[0]))
+        np.testing.assert_array_equal(np.asarray(got[2]), np.asarray(want[2]))
+        # down-conv join (ks2 stride2 at level stride q): bases are out
+        # coords at stride 2q (multiples of 2q), offsets {0, q}
+        offs2 = C.kernel_offsets_np(2, stride=q)
+        down = pts.copy()
+        down[:, :3] = (down[:, :3] // (2 * q)) * (2 * q)
+        down = np.unique(down, axis=0)
+        order = np.lexsort((down[:, 0], down[:, 1], down[:, 2], down[:, 3]))
+        dq = jnp.asarray(down[order])
+        g2 = C.grouped_window_query(tg, dq, offs2, q, queries_sorted=True,
+                                    identity_perm=True)
+        w2 = C.grouped_window_query(td, dq, offs2, q, queries_sorted=True,
+                                    identity_perm=True)
+        np.testing.assert_array_equal(np.asarray(g2[0]), np.asarray(w2[0]))
+        np.testing.assert_array_equal(np.asarray(g2[2]), np.asarray(w2[2]))
+
+
+def test_identity_table_skips_perm_gather_result():
+    """identity_perm=False on an assume_sorted table must still return
+    ORIGINAL row indices (table.identity fast path, round 5)."""
+    rng = np.random.default_rng(9)
+    shape = (24, 16, 8)
+    coords, n = _rand_level(rng, 1200, shape, nb=1, cap=1536)
+    cj = jnp.asarray(coords)
+    tg = C.build_table(cj, assume_sorted=True,
+                       grid_shape=(shape[0], shape[1], shape[2], 1))
+    td = C.build_table(cj, assume_sorted=True)
+    assert tg.grid is not None and tg.identity
+    offs = C.kernel_offsets_np(3, stride=1)
+    got = C.grouped_window_query(tg, cj, offs, 1, queries_sorted=True,
+                                 self_query=True)[0]
+    want = C.grouped_window_query(td, cj, offs, 1, queries_sorted=True,
+                                  self_query=True)[0]
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_rank_grid_check_catches_out_of_grid(monkeypatch):
+    """RANK_GRID_CHECK=1 raises on a pack-valid coord outside the grid —
+    the silent-desync hazard the build_table docstring documents."""
+    monkeypatch.setenv("RANK_GRID_CHECK", "1")
+    coords = np.full((8, 4), C.INVALID_COORD, np.int32)
+    coords[:4, 0] = np.arange(4)
+    coords[:4, 1:3] = 0
+    coords[:4, 3] = 0
+    coords[3, 1] = 5                     # y == 5 >= ny: out of grid
+    import jax
+    with pytest.raises(Exception, match="RankGrid precondition"):
+        g = C.build_rank_grid(jnp.asarray(coords), (8, 5, 2, 1))
+        jax.block_until_ready(g.rows)
+    monkeypatch.setenv("RANK_GRID_CHECK", "0")
+    g = C.build_rank_grid(jnp.asarray(coords), (8, 5, 2, 1))
+    jax.block_until_ready(g.rows)        # silent (documented) without check

@@ -211,12 +211,16 @@ def main():
     from link_tpu.models.linkunet import DEFAULT_CAPACITIES, ELKUNet
     from link_tpu.sparse.tensor import make_sparse_tensor
 
+    from link_tpu.data.semantic_kitti import grid_extent
+
     caps = DEFAULT_CAPACITIES
     ds = SyntheticSemanticKITTI(length=2, num_points=80000,
                                 n_raw_points=120000, split="train")
-    batches = [collate_scans([ds[i]], caps[0]) for i in range(2)]
+    ext = grid_extent(0.05, batch_size=1)
+    batches = [collate_scans([ds[i]], caps[0], grid_extent=ext)
+               for i in range(2)]
     model = ELKUNet(num_classes=20, cr=1.0, capacities=caps,
-                    dtype="bfloat16")
+                    dtype="bfloat16", grid_extent=ext)
     b0 = batches[0]
     st0 = make_sparse_tensor(b0["feats"], b0["coords"], nnz=b0["nnz"],
                              base_sorted=True)
@@ -233,7 +237,7 @@ def main():
         from link_tpu.train import trainer as T
 
         tmodel = ELKUNet(num_classes=20, cr=1.0, capacities=caps,
-                         dtype="bfloat16", remat=True)
+                         dtype="bfloat16", remat=True, grid_extent=ext)
         tvars = jax.jit(tmodel.init, static_argnums=2)(
             jax.random.PRNGKey(0), st0, False)
         tx = T.make_sgd(lambda _: 0.01)
