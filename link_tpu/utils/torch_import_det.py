@@ -168,8 +168,13 @@ def _translate_dense_into(sd, params, stats, tasks):
     # RPN: blocks 0/1 each: convs at seq idx 1, 4, 7, ... + BN after
     NK = "neck"
     for blk in range(2):
-        # torch Sequential: [ZeroPad, Conv, BN, ReLU] + 5 x [Conv, BN, ReLU]
-        conv_ids = [1] + [4 + 3 * j for j in range(5)]
+        # torch Sequential: [ZeroPad, Conv, BN, ReLU] + n x [Conv, BN, ReLU]
+        # (rpn.py:69-87); n = layer_nums[blk], inferred from the keys so
+        # reduced test configs (e.g. the det A/B golden's layer_nums=[2,2])
+        # translate too
+        conv_ids = [1]
+        while f"neck.blocks.{blk}.{conv_ids[-1] + 3}.weight" in sd:
+            conv_ids.append(conv_ids[-1] + 3)
         for ci_, tid in enumerate(conv_ids):
             base = f"neck.blocks.{blk}.{tid}"
             bnb = f"neck.blocks.{blk}.{tid + 1}"
