@@ -64,3 +64,77 @@ def one_cycle(lr_max: float, total_steps: int, moms=(0.95, 0.85),
                          _annealing_cos(moms[1], moms[0], p2))
 
     return lr_fn, mom_fn
+
+
+def lr_updater(policy: str, base_lr: float, *, by_epoch: bool = True,
+               steps_per_epoch: int = 1, max_steps: int = 1,
+               max_epochs: int = 1, warmup: str = None,
+               warmup_iters: int = 0, warmup_ratio: float = 0.1, **kw):
+    """The torchie LrUpdaterHook family as a pure step->lr callable
+    (reference: detection/det3d/torchie/trainer/hooks/lr_updater.py:10-175;
+    unused by the published LinK configs — they train one_cycle — but part
+    of the trainer surface, so ported for completeness).
+
+    policy: fixed | step (kw: step=int|milestones list, gamma=0.1) |
+    exp (kw: gamma) | poly (kw: power=1.0, min_lr=0.0) | inv (kw: gamma,
+    power=1.0) | cosine (kw: target_lr=0.0).
+
+    by_epoch=True evaluates the policy on progress = step//steps_per_epoch
+    (the hook recomputes lr in before_train_epoch) with max progress
+    max_epochs; by_epoch=False on progress = step with max progress
+    max_steps. warmup (constant|linear|exp) overrides the first
+    warmup_iters ITERATIONS in both modes, scaling the policy lr at the
+    current progress (before_train_iter semantics, lr_updater.py:67-83).
+    All arithmetic is jnp so the callable feeds optax.inject_hyperparams.
+    """
+    gamma = kw.get("gamma", 0.1)
+
+    def regular(progress, max_progress):
+        progress = jnp.asarray(progress, jnp.float32)
+        if policy == "fixed":
+            return jnp.full_like(progress, base_lr)
+        if policy == "step":
+            s = kw["step"]
+            if isinstance(s, int):
+                exp = progress // s
+            else:
+                ms = jnp.asarray(s, jnp.float32)
+                exp = jnp.sum(progress[..., None] >= ms, axis=-1)
+            return base_lr * gamma ** exp
+        if policy == "exp":
+            return base_lr * gamma ** progress
+        if policy == "poly":
+            power = kw.get("power", 1.0)
+            min_lr = kw.get("min_lr", 0.0)
+            coeff = (1 - progress / max_progress) ** power
+            return (base_lr - min_lr) * coeff + min_lr
+        if policy == "inv":
+            power = kw.get("power", 1.0)
+            return base_lr * (1 + gamma * progress) ** (-power)
+        if policy == "cosine":
+            target = kw.get("target_lr", 0.0)
+            return target + 0.5 * (base_lr - target) * (
+                1 + jnp.cos(jnp.pi * progress / max_progress))
+        raise ValueError(f"unknown lr policy {policy!r}")
+
+    def lr_fn(step):
+        step = jnp.asarray(step, jnp.int32)
+        if by_epoch:
+            reg = regular(step // steps_per_epoch, max_epochs)
+        else:
+            reg = regular(step, max_steps)
+        if warmup is None:
+            return reg
+        it = jnp.asarray(step, jnp.float32)
+        if warmup == "constant":
+            wl = reg * warmup_ratio
+        elif warmup == "linear":
+            k = (1 - it / warmup_iters) * (1 - warmup_ratio)
+            wl = reg * (1 - k)
+        elif warmup == "exp":
+            wl = reg * warmup_ratio ** (1 - it / warmup_iters)
+        else:
+            raise ValueError(f"unknown warmup {warmup!r}")
+        return jnp.where(step < warmup_iters, wl, reg)
+
+    return lr_fn

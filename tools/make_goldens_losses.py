@@ -214,6 +214,73 @@ def main():
         arrays[f"cw_mult_w{world}"] = mult
     arrays["cw_steps"] = np.arange(0, 240000, 997).astype(np.int64)
 
+    # --- torchie LrUpdater family (hooks/lr_updater.py:10-175) -------------
+    # run the ACTUAL reference hooks against a fake trainer and record the
+    # per-iteration lr the optimizer would see. NOTE ExpLrUpdaterHook is
+    # dead code in the reference: its get_lr references an undefined
+    # `trainer` (the param is `runner`, lr_updater.py:127) and raises
+    # NameError on every call — so `exp` has no runnable golden; our port
+    # implements the obvious intent (base_lr * gamma**progress).
+    # StepLrUpdaterHook has the same bug ONLY in its by_epoch=False arm
+    # (lr_updater.py:109), so `step` goldens are by_epoch=True.
+    def pkgmod(name):
+        m = types.ModuleType(name)
+        m.__spec__ = importlib.machinery.ModuleSpec(name, None,
+                                                    is_package=True)
+        m.__path__ = []
+        sys.modules.setdefault(name, m)
+        return sys.modules[name]
+
+    for nm in ("det3d", "det3d.solver", "det3d.torchie",
+               "det3d.torchie.trainer", "det3d.torchie.trainer.hooks"):
+        pkgmod(nm)
+    _load_as("det3d.solver.learning_schedules_fastai", os.path.join(
+        args.reference,
+        "detection/det3d/solver/learning_schedules_fastai.py"))
+    _load_as("det3d.torchie.trainer.hooks.hook", os.path.join(
+        args.reference, "detection/det3d/torchie/trainer/hooks/hook.py"))
+    LU = _load_as("det3d.torchie.trainer.hooks.lr_updater", os.path.join(
+        args.reference,
+        "detection/det3d/torchie/trainer/hooks/lr_updater.py"))
+
+    def run_hook(hook, base_lr, epochs, spe):
+        trainer = types.SimpleNamespace(
+            optimizer=types.SimpleNamespace(param_groups=[{"lr": base_lr}]),
+            epoch=0, iter=0, max_epochs=epochs, max_iters=epochs * spe)
+        hook.before_run(trainer)
+        lrs = []
+        it = 0
+        for ep in range(epochs):
+            trainer.epoch = ep
+            hook.before_train_epoch(trainer)
+            for _ in range(spe):
+                trainer.iter = it
+                hook.before_train_iter(trainer)
+                lrs.append(trainer.optimizer.param_groups[0]["lr"])
+                it += 1
+        return np.asarray(lrs, np.float64)
+
+    E, SPE = 12, 7
+    lr_cases = {
+        "lu_fixed_warmlin": LU.FixedLrUpdaterHook(
+            warmup="linear", warmup_iters=9, warmup_ratio=0.2),
+        "lu_step_milestones": LU.StepLrUpdaterHook(step=[3, 7, 10],
+                                                   gamma=0.3),
+        "lu_step_int": LU.StepLrUpdaterHook(step=4),
+        "lu_poly_iter_warmexp": LU.PolyLrUpdaterHook(
+            power=1.5, min_lr=1e-4, by_epoch=False, warmup="exp",
+            warmup_iters=11, warmup_ratio=0.1),
+        "lu_inv_iter": LU.InvLrUpdaterHook(gamma=0.05, power=0.75,
+                                           by_epoch=False),
+        "lu_cosine_warmconst": LU.CosineLrUpdaterHook(
+            target_lr=1e-4, warmup="constant", warmup_iters=5,
+            warmup_ratio=0.3),
+    }
+    for key, hook in lr_cases.items():
+        arrays[key] = run_hook(hook, 0.02, E, SPE)
+    arrays["lu_epochs"] = np.int64(E)
+    arrays["lu_spe"] = np.int64(SPE)
+
     # --- sparse_quantize + kernel offsets (torchsparse-u) ------------------
     tsu = "/tmp/tsu"
     if os.path.isdir(tsu):
