@@ -40,6 +40,48 @@ REFERENCE_SCANS_PER_SEC = 10.0
 REFERENCE_DET_FRAMES_PER_SEC = 8.0
 
 
+def emit_sections(jax, metric, loop_call, n_iters):
+    """Capture ONE traced run of the already-compiled bench loop and emit
+    a per-source device-time JSON line (ms/iteration, top entries) — the
+    auditable per-section ledger VERDICT r4 weak-#7 asked for in driver
+    artifacts. Never fatal; skipped with BENCH_SECTIONS=0."""
+    if os.environ.get("BENCH_SECTIONS", "1") == "0":
+        return
+    try:
+        import glob
+        import shutil
+        import tempfile
+
+        import numpy as np
+        from link_tpu.utils.profiling import trace_device_ms_by_source
+
+        tdir = tempfile.mkdtemp(prefix="bench-trace-")
+        try:
+            jax.profiler.start_trace(tdir)
+            loop_call()
+            jax.profiler.stop_trace()
+            by_src = trace_device_ms_by_source(tdir)
+        finally:
+            shutil.rmtree(tdir, ignore_errors=True)
+        # the fori_loop wrapper op is attributed to THIS file and spans
+        # (hence double-counts) its body — drop bench.py sources
+        here = os.path.basename(__file__)
+        rows = [(src, ms) for src, ms in by_src.items()
+                if here not in src]
+        rows.sort(key=lambda kv: -kv[1])
+        total = sum(ms for _, ms in rows)
+        top = {os.sep.join(src.split(os.sep)[-2:]): round(ms / n_iters, 2)
+               for src, ms in rows[:12]}
+        print(json.dumps({
+            "metric": metric + "_sections",
+            "unit": "ms/iter (device)",
+            "total": round(total / n_iters, 2),
+            "top": top,
+        }), flush=True)
+    except Exception as e:                     # pragma: no cover
+        print(f"# sections capture failed ({metric}): {e!r}", flush=True)
+
+
 def bench_det(jax, jnp):
     """nuScenes VoxelNet (SpMiddleResNetFHDELKv3 + RPN + CenterHead)
     single-frame inference: forward + on-device box decode at the real
@@ -123,6 +165,10 @@ def bench_det(jax, jnp):
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / REFERENCE_DET_FRAMES_PER_SEC, 3),
     }), flush=True)
+    emit_sections(jax, "nuscenes_det_infer",
+                  lambda: float(np.asarray(loop(
+                      jnp.int32(3), variables, voxels, coords, npts,
+                      nnzs))), n_iters)
 
     if os.environ.get("BENCH_TRAIN", "1") != "0":
         tds = SyntheticNuScenes(length=2, mode="train", seed=0,
@@ -326,6 +372,10 @@ def main():
         times.append(time.perf_counter() - t0)
     dt = min(times)
     scans_per_sec = n_iters / dt
+    emit_sections(jax, "semantic_kitti_elkunet_infer",
+                  lambda: float(np.asarray(bench_loop(
+                      jnp.int32(4), params, feats, coords, nnzs))),
+                  n_iters)
 
     # secondary metric first (detection); the primary seg line stays LAST
     # so drivers that parse the final line keep tracking the same metric

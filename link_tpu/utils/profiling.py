@@ -25,6 +25,46 @@ def trace(log_dir: str):
         jax.profiler.stop_trace()
 
 
+def trace_device_ms_by_source(trace_dir: str) -> Dict[str, float]:
+    """Parse the newest .trace.json.gz under `trace_dir` and sum device-lane
+    op durations (ms) by the op's `source` metadata (file:line). The
+    per-section ledger every perf round plans from (PLAN.md cost models);
+    bench.py emits its top entries with each run so device-time claims are
+    auditable round-over-round."""
+    import glob
+    import gzip
+    import json
+    import os
+    from collections import defaultdict
+
+    files = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
+                      recursive=True)
+    if not files:
+        return {}
+    path = max(files, key=os.path.getmtime)
+    with gzip.open(path, "rt") as f:
+        tr = json.load(f)
+    events = tr["traceEvents"]
+    pid_names = {}
+    tid_names = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pid_names[e["pid"]] = e["args"].get("name", "")
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            tid_names[(e["pid"], e["tid"])] = e["args"].get("name", "")
+    by_src: Dict[str, float] = defaultdict(float)
+    for e in events:
+        if e.get("ph") != "X":
+            continue
+        if "tpu" not in pid_names.get(e["pid"], "").lower():
+            continue
+        if "XLA Op" not in tid_names.get((e["pid"], e.get("tid")), ""):
+            continue
+        src = e.get("args", {}).get("source", "?")
+        by_src[src] += e.get("dur", 0) / 1e3               # us -> ms
+    return dict(by_src)
+
+
 def flops_of(fn: Callable, *args, **kwargs) -> Optional[float]:
     """Total FLOPs of a jitted callable from XLA cost analysis
     (replacement for det3d/utils/flops_counter.py)."""
