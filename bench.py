@@ -96,12 +96,13 @@ def bench_det(jax, jnp):
     ds = SyntheticNuScenes(length=n_frames, mode="val", seed=0,
                            max_voxels=160000)
     batches = [dp.collate_det([ds[i]], cap) for i in range(n_frames)]
-    # dtype stays f32: bf16 measured FLAT here (336.6 vs 334.5 ms device
-    # op time, round 3) — the det forward is descriptor-bound on narrow
-    # 16/32-ch rows (64-128 B, already under the 256 B plateau) and on
-    # int32 join tables, so halving feature bytes buys nothing. The seg
-    # model (64-256 ch) does benefit; VoxelNet(dtype=) exists for parity
-    # with AMP configs, not for speed on this chip.
+    # dtype stays f32 (reference det trains/serves f32 — like-for-like).
+    # Round-5 re-A/B after the join overhaul: bf16 is now +4% (6.891 vs
+    # 6.627 fps, device 141.4 vs 151.9 ms — window selects/VPU bandwidth
+    # halve; per-tap gathers byte-FLAT at 54.3 ms, confirming per-ROW
+    # descriptor pricing below the 256 B plateau). BENCH_DET_DTYPE=
+    # bfloat16 exposes it; stays off the headline pending an accuracy
+    # validation of det bf16 (round-3 measured FLAT pre-overhaul).
     # Hybrid dense backbone (scn.py dense_from_level): levels >= L run
     # masked dense convs on the MXU. Measured on the v5e at the 160k cap:
     # dense-from-2 f32 2.34 fps / dense-from-1 f32 1.05 fps vs fully
