@@ -96,13 +96,16 @@ def bench_det(jax, jnp):
     ds = SyntheticNuScenes(length=n_frames, mode="val", seed=0,
                            max_voxels=160000)
     batches = [dp.collate_det([ds[i]], cap) for i in range(n_frames)]
-    # dtype stays f32 (reference det trains/serves f32 — like-for-like).
-    # Round-5 re-A/B after the join overhaul: bf16 is now +4% (6.891 vs
-    # 6.627 fps, device 141.4 vs 151.9 ms — window selects/VPU bandwidth
-    # halve; per-tap gathers byte-FLAT at 54.3 ms, confirming per-ROW
-    # descriptor pricing below the 256 B plateau). BENCH_DET_DTYPE=
-    # bfloat16 exposes it; stays off the headline pending an accuracy
-    # validation of det bf16 (round-3 measured FLAT pre-overhaul).
+    # dtype defaults bf16 (round 5): the post-overhaul re-A/B measured
+    # +4% (6.891 vs 6.627 fps, device 141.4 vs 151.9 ms — window
+    # selects/VPU bandwidth halve; per-tap gathers byte-FLAT at 54.3 ms,
+    # confirming per-ROW descriptor pricing below the 256 B plateau),
+    # and the accuracy gate the headline was waiting on is in
+    # tests/test_det_bf16.py (heatmap scores, decoded centers/dims/vel,
+    # raw rot outputs, conditioned yaw — all within detection-facing
+    # tolerances; box decode itself is pinned f32 inside decode_boxes).
+    # BENCH_DET_DTYPE=float32 restores the reference-matching dtype
+    # (round-3 measured bf16 FLAT pre-overhaul).
     # Hybrid dense backbone (scn.py dense_from_level): levels >= L run
     # masked dense convs on the MXU. Measured on the v5e at the 160k cap:
     # dense-from-2 f32 2.34 fps / dense-from-1 f32 1.05 fps vs fully
@@ -112,9 +115,7 @@ def bench_det(jax, jnp):
     # Default stays fully sparse; BENCH_DENSE_FROM=L for A/B.
     dense_env = os.environ.get("BENCH_DENSE_FROM", "")
     dense_from = int(dense_env) if dense_env else None
-    det_dtype = os.environ.get("BENCH_DET_DTYPE",
-                               "bfloat16" if dense_from is not None
-                               else "float32")
+    det_dtype = os.environ.get("BENCH_DET_DTYPE", "bfloat16")
     model = VoxelNet(num_input_features=5, batch_size=1,
                      grid_shape=(1440, 1440, 40),
                      capacities=(cap, cap // 2, cap // 4, cap // 8),
