@@ -74,8 +74,25 @@ def load_checkpoint(path: str, target: Any) -> Any:
         return serialization.from_bytes(target, f.read())
 
 
+def find_resume(directory: str) -> Optional[str]:
+    """Resolve the newest checkpoint in a run dir, or None if the dir has
+    none (fresh start). Prefers the `latest.msgpack` symlink (reference:
+    torchie `latest.pth`, trainer.py:345-359); falls back to the highest
+    epoch_N file if the symlink is missing or dangling."""
+    latest = os.path.join(directory, "latest.msgpack")
+    if os.path.exists(latest):          # follows the symlink
+        return latest
+    if not os.path.isdir(directory):
+        return None
+    cks = sorted(
+        (p for p in os.listdir(directory)
+         if p.startswith("epoch_") and p.endswith(".msgpack")),
+        key=lambda p: int(p.split("_")[1].split(".")[0]))
+    return os.path.join(directory, cks[-1]) if cks else None
+
+
 def checkpoint_meta(path: str) -> Dict:
-    mp = path + ".json"
+    mp = os.path.realpath(path) + ".json"   # latest.msgpack -> epoch_N.msgpack.json
     if os.path.exists(mp):
         with open(mp) as f:
             return json.load(f)

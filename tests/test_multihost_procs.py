@@ -40,7 +40,14 @@ def _clean_env():
     # the workers set their own platform/device-count flags; strip any
     # outer test-session settings that would fight them
     for k in ("XLA_FLAGS", "JAX_PLATFORMS", "JAX_COORDINATOR_ADDRESS",
-              "JAX_NUM_PROCESSES", "JAX_PROCESS_ID"):
+              "JAX_NUM_PROCESSES", "JAX_PROCESS_ID",
+              # relay vars: with these set, sitecustomize registers the
+              # axon PJRT plugin and the first get_backend() in a fresh
+              # process blocks claiming the single TPU — CPU-only
+              # workers must never touch the relay
+              "PALLAS_AXON_POOL_IPS", "PALLAS_AXON_REMOTE_COMPILE",
+              "PJRT_LIBRARY_PATH", "AXON_POOL_SVC_OVERRIDE",
+              "AXON_LOOPBACK_RELAY"):
         env.pop(k, None)
     return env
 

@@ -47,6 +47,16 @@ def main():
                     help="hybrid dense backbone: levels >= L run masked "
                          "dense convs on the MXU (scn.py dense_from_level)")
     ap.add_argument("--process-id", type=int, default=None)
+    ap.add_argument("--resume", nargs="?", const="auto", default=None,
+                    help="checkpoint path, or bare/`auto` to continue from "
+                         "the run dir's latest.msgpack if one exists "
+                         "(reference: tools/train.py:77 + trainer.resume, "
+                         "trainer.py:497-510; the GET_STARTED fading recipe "
+                         "is a resume at epoch 16 with GT-AUG off)")
+    ap.add_argument("--stop-after-epoch", type=int, default=None,
+                    help="exit cleanly after checkpointing this epoch; the "
+                         "one-cycle schedule still spans the full --epochs, "
+                         "so a later --resume continues the SAME recipe")
     args = ap.parse_args()
 
     import jax
@@ -136,6 +146,19 @@ def main():
 
     run_dir = args.run_dir or os.path.join("runs", "det-" +
                                            time.strftime("%m%d%H%M"))
+
+    start_epoch = 1
+    if args.resume:
+        from link_tpu.train.checkpoint import (checkpoint_meta, find_resume,
+                                               load_checkpoint)
+        rp = find_resume(run_dir) if args.resume == "auto" else args.resume
+        if rp:
+            state = load_checkpoint(rp, state)   # incl. one-cycle position
+            start_epoch = int(checkpoint_meta(rp).get("epoch", 0)) + 1
+            print(f"resumed {rp} -> starting at epoch {start_epoch}")
+        elif args.resume != "auto":
+            raise FileNotFoundError(args.resume)
+
     from link_tpu.utils.logging import (MetricsLogger, TensorboardLogger,
                                         save_runtime_code)
     if is_main:    # rank-0 logging/checkpoints (reference trainer hooks)
@@ -145,8 +168,9 @@ def main():
         tb = TensorboardLogger(run_dir)
 
     steps_per_epoch = max(1, len(train_ds) // (ndev * spd))
-    for epoch in range(1, args.epochs + 1):
-        if epoch == args.no_aug_from and hasattr(train_ds, "db_sampler"):
+    for epoch in range(start_epoch, args.epochs + 1):
+        # >= (not ==) so a run resumed past the fading epoch stays faded
+        if epoch >= args.no_aug_from and hasattr(train_ds, "db_sampler"):
             train_ds.db_sampler = None  # GT-AUG fading
         idx = epoch_indices(len(train_ds), epoch)
         shards = shard_indices(idx[:steps_per_epoch * ndev * spd], ndev)
@@ -165,15 +189,19 @@ def main():
             losses.append(metrics["loss"])
         loss = float(np.mean([np.asarray(l) for l in losses]))
         rate = steps_per_epoch * ndev * spd / (time.time() - t0)
-        if not is_main:
-            continue
-        print(f"epoch {epoch}: loss={loss:.4f} ({rate:.2f} samples/s)",
-              flush=True)
-        scalars = {"loss/train": loss, "samples_per_sec": rate}
-        jlog.log({"epoch": epoch, **scalars})
-        tb.scalars(scalars, epoch)
-        tb.flush()
-        save_checkpoint(run_dir, state, epoch)
+        if is_main:
+            print(f"epoch {epoch}: loss={loss:.4f} ({rate:.2f} samples/s)",
+                  flush=True)
+            scalars = {"loss/train": loss, "samples_per_sec": rate}
+            jlog.log({"epoch": epoch, **scalars})
+            tb.scalars(scalars, epoch)
+            tb.flush()
+            save_checkpoint(run_dir, state, epoch)
+        if args.stop_after_epoch and epoch >= args.stop_after_epoch:
+            if is_main:
+                print(f"stopping after epoch {epoch} (--stop-after-epoch)",
+                      flush=True)
+            break
 
 
 if __name__ == "__main__":

@@ -36,6 +36,15 @@ def main():
                          "equivalent: torchpack MPI launch, train.py:41-45")
     ap.add_argument("--num-processes", type=int, default=None)
     ap.add_argument("--process-id", type=int, default=None)
+    ap.add_argument("--resume", nargs="?", const="auto", default=None,
+                    help="checkpoint path, or bare/`auto` to continue from "
+                         "the run dir's latest.msgpack if one exists "
+                         "(reference: segmentation/train.py:165-184)")
+    ap.add_argument("--stop-after-epoch", type=int, default=None,
+                    help="exit cleanly after checkpointing this epoch; the "
+                         "LR schedule still spans the full num_epochs, so a "
+                         "later --resume continues the SAME recipe "
+                         "(preemption simulation / staged training)")
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args()
 
@@ -126,6 +135,21 @@ def main():
     run_dir = args.run_dir or os.path.join(
         "runs", os.path.splitext(os.path.basename(args.config))[0]
         + time.strftime("-%m%d%H%M"))
+
+    start_epoch = 1
+    if args.resume:
+        from link_tpu.train.checkpoint import (checkpoint_meta, find_resume,
+                                               load_checkpoint)
+        rp = find_resume(run_dir) if args.resume == "auto" else args.resume
+        if rp:
+            # full TrainState restore: params, batch_stats, optimizer state
+            # (incl. the optax schedule step count, so LR continues exactly)
+            state = load_checkpoint(rp, state)
+            start_epoch = int(checkpoint_meta(rp).get("epoch", 0)) + 1
+            print(f"resumed {rp} -> starting at epoch {start_epoch}")
+        elif args.resume != "auto":
+            raise FileNotFoundError(args.resume)
+
     from link_tpu.utils.logging import (MetricsLogger, TensorboardLogger,
                                         save_runtime_code)
     if is_main:    # rank-0 logging/checkpoints, reference train.py:129-139
@@ -136,7 +160,7 @@ def main():
 
     seed = cfg.train.seed
     steps_per_epoch = max(1, len(train_ds) // world_batch)
-    for epoch in range(1, cfg.num_epochs + 1):
+    for epoch in range(start_epoch, cfg.num_epochs + 1):
         idx = epoch_indices(len(train_ds), epoch, seed)
         shards = shard_indices(idx[:steps_per_epoch * world_batch], ndev)
 
@@ -177,18 +201,21 @@ def main():
             # they already include every process's shard
             miou_metric.update(np.asarray(counters))
         miou = miou_metric.compute()
-        if not is_main:
-            continue
-        print(f"epoch {epoch}: val mIoU (voxel) = {miou*100:.2f}", flush=True)
-
-        scalars = {"loss/train": loss, "iou/val": float(miou),
-                   "scans_per_sec": steps_per_epoch * world_batch / dt}
-        jlog.log({"epoch": epoch, **scalars})
-        tb.scalars(scalars, epoch)
-        tb.flush()
-
-        save_checkpoint(run_dir, state, epoch, metric=miou,
-                        meta={"config": args.config})
+        if is_main:
+            print(f"epoch {epoch}: val mIoU (voxel) = {miou*100:.2f}",
+                  flush=True)
+            scalars = {"loss/train": loss, "iou/val": float(miou),
+                       "scans_per_sec": steps_per_epoch * world_batch / dt}
+            jlog.log({"epoch": epoch, **scalars})
+            tb.scalars(scalars, epoch)
+            tb.flush()
+            save_checkpoint(run_dir, state, epoch, metric=miou,
+                            meta={"config": args.config})
+        if args.stop_after_epoch and epoch >= args.stop_after_epoch:
+            if is_main:
+                print(f"stopping after epoch {epoch} (--stop-after-epoch)",
+                      flush=True)
+            break
 
 
 if __name__ == "__main__":
